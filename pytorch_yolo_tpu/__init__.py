@@ -1,0 +1,35 @@
+"""pytorch_yolo_tpu — a TPU-native YOLO (Darknet) inference framework in JAX.
+
+Brand-new rebuild of the capabilities of ``Dipet/pytorch_yolo`` (see
+SURVEY.md): Darknet ``.cfg``/``.weights`` in, boxes+scores+classes out, with
+the compute path designed for TPU — pure-functional XLA-compiled forward,
+fused on-device letterbox, fixed-shape NMS, and batch sharding over a device
+mesh.
+"""
+
+from .api import Detection, Detector, detect, load
+from .config import ModelSpec, load_model_spec, parse_cfg_file, parse_cfg_text, build_spec
+from .models.zoo import available_models, model_spec, write_cfg
+from .weights import load_weights, write_weights_file, fold_batchnorm, random_raw_params
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Detection",
+    "Detector",
+    "detect",
+    "load",
+    "ModelSpec",
+    "load_model_spec",
+    "parse_cfg_file",
+    "parse_cfg_text",
+    "build_spec",
+    "available_models",
+    "model_spec",
+    "write_cfg",
+    "load_weights",
+    "write_weights_file",
+    "fold_batchnorm",
+    "random_raw_params",
+    "__version__",
+]

@@ -1,0 +1,261 @@
+"""Public detection API: load cfg/weights -> detect -> boxes+scores+classes.
+
+Keeps the reference's API surface (SURVEY.md §1 L5, BASELINE.json:5):
+``load(cfg, weights) -> model`` and ``detect(image, conf, nms) -> boxes,
+scores, classes`` — while the implementation is a single jitted XLA program
+per (source shape, input size): on-device letterbox -> conv stack -> fused
+decode -> fixed-shape NMS -> un-letterbox.  The only host<->device traffic is
+the uint8 image in and the fixed (K, 7) result out (vs. the reference's
+float H2D + mid-NMS ``unique`` sync + dynamic D2H, SURVEY.md §3.2).
+
+Pipelines are cached per (batch, H0, W0, size, thresholds): video streams and
+fixed-size datasets compile once; multi-resolution {320, 416, 608} keeps one
+warm cache entry each (shape-bucketed XLA caches, BASELINE.json:10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelSpec, load_model_spec
+from .models.darknet import build_forward
+from .models.zoo import model_spec as zoo_spec
+from .ops.decode import decode_all
+from .ops.nms import NMSResult, batched_nms
+from .ops.postprocess import unletterbox_boxes
+from .ops.preprocess import letterbox_batch, letterbox_geometry
+from .parallel.sharding import (
+    batch_sharding,
+    make_batch_mesh,
+    pad_to_multiple,
+    replicate_params,
+)
+from .utils.names import load_classes
+from .weights import Params, load_weights, random_raw_params, fold_batchnorm
+
+
+class Detection(NamedTuple):
+    """Per-image detection result in original-image pixel coordinates.
+
+    Row format follows the reference (SURVEY.md §1 L4):
+    boxes (M, 4) x1,y1,x2,y2 float32; obj (M,); cls_score (M,); cls_id (M,) int32.
+    """
+
+    boxes: np.ndarray
+    obj: np.ndarray
+    cls_score: np.ndarray
+    cls_id: np.ndarray
+
+    def __len__(self) -> int:
+        return int(self.boxes.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class _PipelineKey:
+    batch: int
+    orig_h: int
+    orig_w: int
+    size: int
+    conf: float
+    iou: float
+    max_det: int
+    bgr: bool
+
+
+class Detector:
+    """Loaded YOLO model bound to a device (or device mesh) for inference."""
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params: Params,
+        class_names: Sequence[str] | None = None,
+        compute_dtype=jnp.float32,
+        mesh=None,
+        score_mode: str = "obj",
+    ) -> None:
+        self.spec = spec
+        self.class_names = tuple(class_names) if class_names else load_classes()
+        self.score_mode = score_mode
+        self._forward = build_forward(spec, compute_dtype=compute_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            self.params = replicate_params(
+                jax.tree_util.tree_map(jnp.asarray, params), mesh
+            )
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._pipelines: dict[_PipelineKey, object] = {}
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def load(
+        cls,
+        cfg: str,
+        weights: str | None = None,
+        names: str | None = None,
+        mesh=None,
+        compute_dtype=jnp.float32,
+    ) -> "Detector":
+        """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
+
+        ``cfg`` may also be a zoo model name ("yolov3", "yolov3-tiny").
+        With ``weights=None`` the model gets synthetic random weights
+        (offline testing; SURVEY.md §4.2)."""
+        if cfg.endswith(".cfg"):
+            spec = load_model_spec(cfg)
+        else:
+            spec = zoo_spec(cfg)
+        if weights is not None:
+            params = load_weights(spec, weights)
+        else:
+            params = fold_batchnorm(spec, random_raw_params(spec))
+        return cls(spec, params, class_names=load_classes(names),
+                   mesh=mesh, compute_dtype=compute_dtype)
+
+    # ------------------------------------------------------------------
+    # Jitted pipeline construction (one XLA program per shape bucket)
+    # ------------------------------------------------------------------
+
+    def _build_pipeline(self, key: _PipelineKey):
+        geo = letterbox_geometry(key.orig_h, key.orig_w, key.size)
+        forward = self._forward
+        spec = self.spec
+        score_mode = self.score_mode
+
+        def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
+            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr)
+            heads = forward(params, x)
+            det = decode_all(heads, spec, key.size)
+            res = batched_nms(
+                det,
+                conf_thresh=key.conf,
+                iou_thresh=key.iou,
+                max_det=key.max_det,
+                score_mode=score_mode,
+            )
+            return res._replace(boxes=unletterbox_boxes(res.boxes, geo))
+
+        if self.mesh is not None:
+            in_shardings = (
+                jax.tree_util.tree_map(lambda _: jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()), self.params),
+                batch_sharding(self.mesh),
+            )
+            return jax.jit(pipeline, in_shardings=in_shardings)
+        return jax.jit(pipeline)
+
+    def _pipeline(self, key: _PipelineKey):
+        fn = self._pipelines.get(key)
+        if fn is None:
+            fn = self._build_pipeline(key)
+            self._pipelines[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Detection entry points
+    # ------------------------------------------------------------------
+
+    def detect(
+        self,
+        image: np.ndarray,
+        size: int = 416,
+        conf: float = 0.5,
+        iou: float = 0.4,
+        max_det: int = 300,
+        bgr: bool = True,
+    ) -> Detection:
+        """Detect objects in one (H, W, 3) uint8 image."""
+        return self.detect_batch(image[None], size, conf, iou, max_det, bgr)[0]
+
+    def detect_batch(
+        self,
+        images: np.ndarray,
+        size: int = 416,
+        conf: float = 0.5,
+        iou: float = 0.4,
+        max_det: int = 300,
+        bgr: bool = True,
+    ) -> list[Detection]:
+        """Detect objects in a uniform (N, H, W, 3) uint8 batch.
+
+        On a mesh, the batch is padded to a multiple of the mesh size and
+        sharded over chips; results gather over ICI."""
+        images = np.ascontiguousarray(images)
+        n = images.shape[0]
+        run_n = n
+        if self.mesh is not None:
+            m = self.mesh.devices.size
+            run_n = pad_to_multiple(n, m)
+            if run_n != n:
+                pad = np.zeros((run_n - n,) + images.shape[1:], dtype=images.dtype)
+                images = np.concatenate([images, pad], axis=0)
+
+        key = _PipelineKey(
+            batch=run_n, orig_h=images.shape[1], orig_w=images.shape[2],
+            size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr,
+        )
+        dev_imgs = (
+            jax.device_put(images, batch_sharding(self.mesh))
+            if self.mesh is not None else jnp.asarray(images)
+        )
+        res: NMSResult = self._pipeline(key)(self.params, dev_imgs)
+        return self._trim(res, n)
+
+    def raw_result(self, images: np.ndarray, size: int = 416, conf: float = 0.5,
+                   iou: float = 0.4, max_det: int = 300, bgr: bool = True) -> NMSResult:
+        """Device-resident fixed-shape result (no host trim) — for pipelining."""
+        key = _PipelineKey(
+            batch=images.shape[0], orig_h=images.shape[1], orig_w=images.shape[2],
+            size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr,
+        )
+        return self._pipeline(key)(self.params, jnp.asarray(images))
+
+    @staticmethod
+    def _trim(res: NMSResult, n: int) -> list[Detection]:
+        """One D2H copy, then trim each image's valid rows on host."""
+        boxes, obj, cls_score, cls_id, valid = jax.device_get(
+            (res.boxes, res.obj, res.cls_score, res.cls_id, res.valid)
+        )
+        out = []
+        for i in range(n):
+            m = valid[i]
+            out.append(Detection(
+                boxes=boxes[i][m], obj=obj[i][m],
+                cls_score=cls_score[i][m], cls_id=cls_id[i][m],
+            ))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, shapes: Sequence[tuple[int, int]], sizes: Sequence[int] = (416,),
+               batch: int = 1, **kw) -> None:
+        """Pre-compile pipelines for the given (H0, W0) x size buckets."""
+        for h, w in shapes:
+            dummy = np.zeros((batch, h, w, 3), dtype=np.uint8)
+            for s in sizes:
+                self.detect_batch(dummy, size=s, **kw)
+
+
+def load(cfg: str, weights: str | None = None, **kw) -> Detector:
+    """Module-level convenience mirroring the reference's ``load`` API."""
+    return Detector.load(cfg, weights, **kw)
+
+
+def detect(model: Detector, image: np.ndarray, conf: float = 0.5, nms: float = 0.4,
+           size: int = 416, **kw) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-shaped free function: returns (boxes, scores, classes).
+
+    ``scores`` follows the reference row meaning: the objectness column
+    (SURVEY.md §1 L4/L5)."""
+    d = model.detect(image, size=size, conf=conf, iou=nms, **kw)
+    return d.boxes, d.obj, d.cls_id

@@ -1,0 +1,152 @@
+"""Pure-functional Darknet forward pass, compiled end-to-end by XLA.
+
+Replaces the reference's ``Darknet(nn.Module).forward`` block-walk
+(SURVEY.md §2.1 #3, §3.3).  Differences are deliberate and TPU-first:
+
+  * **Pure function of (params, x)** — no module state; the whole network is
+    one traced XLA program, so all ~75 convs fuse/schedule as a unit.
+  * **NHWC activations, HWIO kernels** — the native TPU conv layout; the
+    reference's NCHW is a CUDA convention with no benefit on the MXU.
+  * **Static topology** — route/shortcut indices were resolved at parse time
+    (config.build_spec), so tracing is a straight-line loop over specs with
+    a Python-side dict of cached outputs.  Only outputs later referenced by
+    a route/shortcut are retained.
+  * **BN already folded into conv** (weights.fold_batchnorm), so a layer is
+    exactly conv + bias + leaky_relu — XLA fuses bias+activation into the
+    conv epilogue.
+  * Optional **bf16 compute** (params cast at trace time, fp32 accumulation
+    via ``preferred_element_type``) for MXU throughput; fp32 is the default
+    for bit-faithful parity with the reference.
+
+The forward returns the raw per-head feature maps (N, H, W, A*(5+C)); decode
+to boxes lives in ``ops/decode.py`` so it can be fused with filtering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import (
+    ConvSpec,
+    MaxPoolSpec,
+    ModelSpec,
+    RouteSpec,
+    ShortcutSpec,
+    UpsampleSpec,
+    YoloSpec,
+)
+
+_CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _needed_outputs(spec: ModelSpec) -> frozenset[int]:
+    """Layer indices whose outputs are consumed by a later route/shortcut."""
+    needed: set[int] = set()
+    for layer in spec.layers:
+        if isinstance(layer, RouteSpec):
+            needed.update(layer.layers)
+        elif isinstance(layer, ShortcutSpec):
+            needed.add(layer.from_layer)
+            needed.add(layer.index - 1)
+    return frozenset(needed)
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, spec: ConvSpec,
+          compute_dtype: jnp.dtype) -> jnp.ndarray:
+    p = spec.padding
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(spec.stride, spec.stride),
+        padding=((p, p), (p, p)),
+        dimension_numbers=_CONV_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    y = y + b.astype(jnp.float32)
+    if spec.activation == "leaky":
+        # Darknet LeakyReLU slope is exactly 0.1 (SURVEY.md §7 hard parts).
+        y = jnp.where(y > 0, y, 0.1 * y)
+    return y.astype(compute_dtype) if compute_dtype != jnp.float32 else y
+
+
+def _maxpool(x: jnp.ndarray, spec: MaxPoolSpec) -> jnp.ndarray:
+    """Darknet maxpool: total pad = size-1, split (floor, rest), -inf fill.
+
+    This reproduces Darknet's ``out = (w + pad - size)/stride + 1`` with
+    ``offset = -pad/2`` (C integer division) — including the tiny-YOLOv3
+    size=2,stride=1 layer that must keep 13x13 via a trailing-only pad
+    (SURVEY.md §7 hard parts).  -inf fill means padded cells never win the
+    max, matching Darknet's -FLT_MAX initialization."""
+    total = spec.size - 1
+    lo = total // 2
+    hi = total - lo
+    neg = jnp.array(-jnp.inf, dtype=x.dtype)
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, spec.size, spec.size, 1),
+        window_strides=(1, spec.stride, spec.stride, 1),
+        padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
+    )
+
+
+def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample via reshape+broadcast (no gather, XLA-friendly)."""
+    n, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, stride, w, stride, c))
+    return y.reshape(n, h * stride, w * stride, c)
+
+
+def build_forward(
+    spec: ModelSpec,
+    compute_dtype: Any = jnp.float32,
+) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
+    """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
+
+    ``x`` is (N, S, S, 3) float32 in [0, 1]; each output is the raw
+    (N, G, G, A*(5+C)) feature map of one [yolo] head, fp32."""
+    needed = _needed_outputs(spec)
+    layers = spec.layers
+    dtype = jnp.dtype(compute_dtype)
+
+    def apply(params: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+        cache: dict[int, jnp.ndarray] = {}
+        heads: list[jnp.ndarray] = []
+        for layer in layers:
+            if isinstance(layer, ConvSpec):
+                p = params[layer.index]
+                x = _conv(x, p["w"], p["b"], layer, dtype)
+            elif isinstance(layer, MaxPoolSpec):
+                x = _maxpool(x, layer)
+            elif isinstance(layer, UpsampleSpec):
+                x = _upsample(x, layer.stride)
+            elif isinstance(layer, RouteSpec):
+                srcs = [cache[j] for j in layer.layers]
+                x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+            elif isinstance(layer, ShortcutSpec):
+                x = cache[layer.index - 1] + cache[layer.from_layer]
+            elif isinstance(layer, YoloSpec):
+                heads.append(x.astype(jnp.float32))
+                # x passes through unchanged (reference caches the raw map too)
+            if layer.index in needed:
+                cache[layer.index] = x
+        return tuple(heads)
+
+    return apply
+
+
+def head_shapes(spec: ModelSpec, input_size: int, batch: int = 1) -> tuple[tuple[int, ...], ...]:
+    """Static (N, G, G, A*(5+C)) shape of each head at a given input size."""
+    from ..config import head_strides
+
+    shapes = []
+    for head, stride in zip(spec.yolo_layers, head_strides(spec)):
+        g = input_size // stride
+        shapes.append((batch, g, g, len(head.anchors) * (5 + head.classes)))
+    return tuple(shapes)

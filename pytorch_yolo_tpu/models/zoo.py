@@ -1,0 +1,182 @@
+"""Programmatic generators for the YOLOv3 model family, emitting Darknet cfg.
+
+The reference ships ``yolov3.cfg`` / ``yolov3-tiny.cfg`` verbatim from
+upstream Darknet (SURVEY.md §2.1 #12).  We instead *generate* the same
+architectures from their published structure (YOLOv3 paper, arXiv 1804.02767;
+anchor/mask tables in SURVEY.md §5.6 and §3.3) — the generated cfg text is
+byte-parseable by :mod:`pytorch_yolo_tpu.config` and produces the exact layer
+arithmetic of the upstream files (75 conv layers / 10647 detections at 416 for
+full YOLOv3; 13 convs / 2535 detections for tiny).
+
+This gives the framework a checked, self-contained source of truth for the
+two flagship models while still accepting any user-supplied ``.cfg``.
+"""
+
+from __future__ import annotations
+
+from ..config import ModelSpec, build_spec, parse_cfg_text
+
+# Anchor tables in net-input pixels (SURVEY.md §5.6 / §3.3, [B]-tier).
+YOLOV3_ANCHORS = "10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326"
+YOLOV3_TINY_ANCHORS = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
+
+
+def _net(width: int, height: int) -> list[str]:
+    return [
+        "[net]",
+        "batch=1",
+        "subdivisions=1",
+        f"width={width}",
+        f"height={height}",
+        "channels=3",
+        "",
+    ]
+
+
+def _conv(filters: int, size: int, stride: int = 1, bn: bool = True,
+          activation: str = "leaky") -> list[str]:
+    lines = ["[convolutional]"]
+    if bn:
+        lines.append("batch_normalize=1")
+    lines += [
+        f"filters={filters}",
+        f"size={size}",
+        f"stride={stride}",
+        "pad=1",
+        f"activation={activation}",
+        "",
+    ]
+    return lines
+
+
+def _residual(mid: int, out: int) -> list[str]:
+    """Darknet-53 residual unit: 1x1 squeeze -> 3x3 expand -> shortcut(-3)."""
+    return (
+        _conv(mid, 1)
+        + _conv(out, 3)
+        + ["[shortcut]", "from=-3", "activation=linear", ""]
+    )
+
+
+def _yolo(mask: str, anchors: str, classes: int, num: int) -> list[str]:
+    return [
+        "[yolo]",
+        f"mask = {mask}",
+        f"anchors = {anchors}",
+        f"classes={classes}",
+        f"num={num}",
+        "jitter=.3",
+        "ignore_thresh = .7",
+        "truth_thresh = 1",
+        "random=1",
+        "",
+    ]
+
+
+def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """Full YOLOv3: Darknet-53 backbone + 3-scale FPN head.
+
+    Structure per the YOLOv3 paper Table 1 / upstream cfg (SURVEY.md §3.3):
+    stem conv32; five stride-2 stages with 1,2,8,8,4 residual units
+    (64,128,256,512,1024 channels); detection head = 5-conv blocks +
+    3x3/1x1-linear output at strides 32,16,8 with upsample+route fusion.
+    Route targets (61 = end of 512-stage, 36 = end of 256-stage) fall out of
+    the generation arithmetic rather than being hand-coded magic numbers.
+    """
+    filters_out = 3 * (5 + classes)
+    lines = _net(width, height)
+    layer = -1  # running layer index, mirrors config.build_spec numbering
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    emit(_conv(32, 3), 1)  # stem
+    stage_ends: dict[int, int] = {}
+    for ch, n_blocks in ((64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)):
+        emit(_conv(ch, 3, stride=2), 1)  # downsample
+        for _ in range(n_blocks):
+            emit(_residual(ch // 2, ch), 3)
+        stage_ends[ch] = layer
+    assert layer == 74, f"backbone should end at layer 74, got {layer}"
+    assert stage_ends[256] == 36 and stage_ends[512] == 61  # upstream indices
+
+    def head(pre_ch: int, mask: str) -> None:
+        # 5-conv block: 1x1 pre, 3x3 2*pre alternating, then 3x3 + 1x1 linear out
+        for k in range(5):
+            emit(_conv(pre_ch, 1) if k % 2 == 0 else _conv(pre_ch * 2, 3), 1)
+        emit(_conv(pre_ch * 2, 3), 1)
+        emit(_conv(filters_out, 1, bn=False, activation="linear"), 1)
+        emit(_yolo(mask, YOLOV3_ANCHORS, classes, 9), 1)
+
+    head(512, "6,7,8")  # stride 32, 13x13 @416
+    emit([f"[route]", f"layers = -4", ""], 1)
+    emit(_conv(256, 1), 1)
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = -1, {stage_ends[512]}", ""], 1)
+
+    head(256, "3,4,5")  # stride 16, 26x26 @416
+    emit([f"[route]", f"layers = -4", ""], 1)
+    emit(_conv(128, 1), 1)
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = -1, {stage_ends[256]}", ""], 1)
+
+    head(128, "0,1,2")  # stride 8, 52x52 @416
+    assert layer == 106, f"yolov3 should have 107 layers (0..106), got {layer}"
+    return "\n".join(lines)
+
+
+def yolov3_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """Tiny YOLOv3: 7-conv/6-maxpool backbone + 2-scale head.
+
+    Layer layout matches upstream yolov3-tiny.cfg (SURVEY.md §3.3): note the
+    size=2,stride=1 maxpool at layer 11 (needs asymmetric pad to keep 13x13)
+    and the route to layer 8 (the 256-channel 26x26 feature map).
+    """
+    filters_out = 3 * (5 + classes)
+    lines = _net(width, height)
+    # Backbone: conv/maxpool ladder. Layers 0..11.
+    for ch in (16, 32, 64, 128, 256, 512):
+        lines += _conv(ch, 3)
+        stride = 1 if ch == 512 else 2
+        lines += ["[maxpool]", "size=2", f"stride={stride}", ""]
+    lines += _conv(1024, 3)            # 12
+    lines += _conv(256, 1)             # 13
+    lines += _conv(512, 3)             # 14
+    lines += _conv(filters_out, 1, bn=False, activation="linear")  # 15
+    lines += _yolo("3,4,5", YOLOV3_TINY_ANCHORS, classes, 6)       # 16
+    lines += ["[route]", "layers = -4", ""]                        # 17 -> 13
+    lines += _conv(128, 1)             # 18
+    lines += ["[upsample]", "stride=2", ""]                        # 19
+    lines += ["[route]", "layers = -1, 8", ""]                     # 20
+    lines += _conv(256, 3)             # 21
+    lines += _conv(filters_out, 1, bn=False, activation="linear")  # 22
+    lines += _yolo("0,1,2", YOLOV3_TINY_ANCHORS, classes, 6)       # 23
+    return "\n".join(lines)
+
+
+_GENERATORS = {
+    "yolov3": yolov3_cfg,
+    "yolov3-tiny": yolov3_tiny_cfg,
+}
+
+
+def available_models() -> tuple[str, ...]:
+    return tuple(sorted(_GENERATORS))
+
+
+def model_spec(name: str, classes: int = 80, width: int = 416, height: int = 416) -> ModelSpec:
+    """Build the named flagship model's :class:`ModelSpec` directly."""
+    try:
+        gen = _GENERATORS[name]
+    except KeyError:
+        raise ValueError(f"unknown model {name!r}; available: {available_models()}") from None
+    return build_spec(parse_cfg_text(gen(classes=classes, width=width, height=height)))
+
+
+def write_cfg(name: str, path: str, classes: int = 80) -> None:
+    """Emit the named model as a standard Darknet .cfg file."""
+    gen = _GENERATORS[name]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(gen(classes=classes))

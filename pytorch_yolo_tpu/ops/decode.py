@@ -1,0 +1,87 @@
+"""YOLO detection-head decode: raw feature maps -> anchor boxes.
+
+Replaces the reference's ``predict_transform`` (SURVEY.md §2.1 #5, §3.3).
+Decode math ([B]-tier, YOLOv3 paper §2.1 / SURVEY.md §3.3):
+
+    bx = (sigmoid(tx) + cx) * stride      bw = pw * exp(tw)
+    by = (sigmoid(ty) + cy) * stride      bh = ph * exp(th)
+    obj = sigmoid(to)
+    p(class_i) = sigmoid(ti)              # independent sigmoids, NOT softmax
+
+Anchors (pw, ph) are in net-input pixels.  Output detections are ordered
+cell-major, anchor-minor per head, heads concatenated in network order —
+matching the reference's ``view/transpose`` reshuffle so decoded tensors are
+comparable element-for-element in the parity tests.
+
+Two implementations:
+  * :func:`decode_head` — pure jnp.  XLA already fuses this into a single
+    elementwise pass over the head output; it is the correctness oracle.
+  * :func:`decode_head_pallas` (ops/pallas_kernels.py) — fused Pallas kernel
+    combining decode + score computation, used on TPU for the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelSpec, YoloSpec, head_strides
+
+
+def _grid_offsets(g: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(g, g) arrays of column (cx) and row (cy) indices."""
+    cx = lax.broadcasted_iota(dtype, (g, g), 1)
+    cy = lax.broadcasted_iota(dtype, (g, g), 0)
+    return cx, cy
+
+
+def decode_head(
+    raw: jnp.ndarray,
+    anchors: tuple[tuple[float, float], ...],
+    stride: int,
+    num_classes: int,
+) -> jnp.ndarray:
+    """Decode one head's raw (N, G, G, A*(5+C)) map to (N, G*G*A, 5+C).
+
+    Returns [bx, by, bw, bh, obj, p0..pC-1] with box centers/sizes in
+    net-input pixels, fp32."""
+    n, g, g2, ch = raw.shape
+    a = len(anchors)
+    c = num_classes
+    assert g == g2 and ch == a * (5 + c), (raw.shape, anchors, num_classes)
+
+    x = raw.reshape(n, g, g, a, 5 + c).astype(jnp.float32)
+    cx, cy = _grid_offsets(g)
+
+    bx = (lax.logistic(x[..., 0]) + cx[None, :, :, None]) * float(stride)
+    by = (lax.logistic(x[..., 1]) + cy[None, :, :, None]) * float(stride)
+    pw = jnp.asarray([w for w, _ in anchors], dtype=jnp.float32)
+    ph = jnp.asarray([h for _, h in anchors], dtype=jnp.float32)
+    bw = pw[None, None, None, :] * jnp.exp(x[..., 2])
+    bh = ph[None, None, None, :] * jnp.exp(x[..., 3])
+    obj = lax.logistic(x[..., 4])
+    cls = lax.logistic(x[..., 5:])
+
+    out = jnp.concatenate(
+        [bx[..., None], by[..., None], bw[..., None], bh[..., None], obj[..., None], cls],
+        axis=-1,
+    )
+    # cell-major, anchor-minor flatten (reference detection order, SURVEY.md §3.3)
+    return out.reshape(n, g * g * a, 5 + c)
+
+
+def decode_all(
+    heads: tuple[jnp.ndarray, ...],
+    spec: ModelSpec,
+    input_size: int,
+) -> jnp.ndarray:
+    """Decode and concatenate every head: -> (N, D, 5+C).
+
+    D = 10647 for full YOLOv3 @416, 2535 for tiny (SURVEY.md §3.3)."""
+    strides = head_strides(spec)
+    outs = []
+    for raw, head_spec, stride in zip(heads, spec.yolo_layers, strides):
+        outs.append(decode_head(raw, head_spec.anchors, stride, head_spec.classes))
+    return jnp.concatenate(outs, axis=1)

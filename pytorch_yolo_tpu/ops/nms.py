@@ -1,0 +1,152 @@
+"""Fixed-shape, class-wise non-maximum suppression.
+
+Replaces the reference's ``write_results`` / ``non_max_suppression``
+(SURVEY.md §2.1 #6, §3.2): there, a confidence mask, a ``unique(classes)``
+device->host sync, and a per-class Python loop with dynamic shapes.  None of
+that compiles on TPU.  The TPU-native design is fully static:
+
+  1. score/class reduction over the (N, D, 5+C) decoded tensor;
+  2. ``lax.top_k`` selects a fixed K candidates per image by masked score
+     (invalid = -1, so they sort last);
+  3. center->corner conversion + the **class-offset trick**: each candidate's
+     coordinates are shifted by ``cls_id * OFFSET`` so boxes of different
+     classes can never overlap — one IoU pass performs class-wise NMS with no
+     per-class loop (SURVEY.md §7 hard parts);
+  4. greedy suppression as a K-step ``fori_loop`` over a precomputed
+     (K, K) IoU matrix — identical keep-set to the reference's sequential
+     greedy loop, but fixed-shape and jit-compiled.
+
+Output is a fixed (N, K, 7) tensor [x1, y1, x2, y2, obj, cls_score, cls_id]
+(reference row format, SURVEY.md §1 L4) plus a validity mask; downstream code
+and the API layer trim on host after one final D2H copy.
+
+``score_mode`` controls the ranking/filter score:
+  * ``"obj"``     — objectness only (reference family default; sort key and
+                    confidence filter both use sigma(to)).
+  * ``"obj*cls"`` — objectness times best-class probability.
+Pinned as "obj" by default; re-verify against the real reference when the
+mount is populated (SURVEY.md re-verification checklist #2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Boxes live in net-input pixel coords (<= 608 + margin); one class stride
+# cleanly separates classes in corner space.
+CLASS_OFFSET = 4096.0
+
+
+class NMSResult(NamedTuple):
+    """Fixed-shape NMS output for a batch.
+
+    boxes:  (N, K, 4) x1,y1,x2,y2 in net-input pixels (letterboxed frame)
+    obj:    (N, K) objectness
+    cls_score: (N, K) best-class probability
+    cls_id: (N, K) int32 class index
+    valid:  (N, K) bool — True for rows that survived filter + NMS
+    """
+
+    boxes: jnp.ndarray
+    obj: jnp.ndarray
+    cls_score: jnp.ndarray
+    cls_id: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of (K, 4) corner boxes -> (K, K)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Sequential greedy NMS over score-sorted candidates.
+
+    ``iou`` is (K, K) for candidates already sorted by descending score;
+    ``valid[i]`` marks rows that passed the confidence filter.  Returns the
+    keep mask: row i survives iff it is valid and no higher-ranked kept row
+    overlaps it above ``iou_thresh`` — exactly the reference's greedy
+    keep-set (SURVEY.md §3.2)."""
+    k = iou.shape[0]
+    over = iou > iou_thresh
+
+    def body(i, keep):
+        # suppressed if any kept j < i overlaps i
+        mask_lt = lax.broadcasted_iota(jnp.int32, (k,), 0) < i
+        suppressed = jnp.any(over[i] & keep & mask_lt)
+        return keep.at[i].set(valid[i] & ~suppressed)
+
+    return lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+
+
+def _select_topk(det: jnp.ndarray, conf_thresh: float, max_det: int, score_mode: str):
+    """Per-image candidate selection from (D, 5+C) decoded rows."""
+    obj = det[:, 4]
+    cls_prob = det[:, 5:]
+    cls_score = jnp.max(cls_prob, axis=-1)
+    cls_id = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
+    rank = obj if score_mode == "obj" else obj * cls_score
+    passed = obj > conf_thresh
+    masked = jnp.where(passed, rank, -1.0)
+    top_scores, idx = lax.top_k(masked, max_det)
+    sel = det[idx]
+    return sel, obj[idx], cls_score[idx], cls_id[idx], top_scores > 0.0
+
+
+def _nms_single(
+    det: jnp.ndarray,
+    conf_thresh: float,
+    iou_thresh: float,
+    max_det: int,
+    score_mode: str,
+    class_agnostic: bool,
+) -> NMSResult:
+    sel, obj, cls_score, cls_id, valid = _select_topk(det, conf_thresh, max_det, score_mode)
+    # center/size -> corners (reference write_results conversion)
+    cx, cy, w, h = sel[:, 0], sel[:, 1], sel[:, 2], sel[:, 3]
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    if class_agnostic:
+        shifted = boxes
+    else:
+        shifted = boxes + (cls_id.astype(jnp.float32) * CLASS_OFFSET)[:, None]
+    keep = greedy_suppress(iou_matrix(shifted), valid, iou_thresh)
+    return NMSResult(boxes=boxes, obj=obj, cls_score=cls_score, cls_id=cls_id, valid=keep)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("conf_thresh", "iou_thresh", "max_det", "score_mode", "class_agnostic")
+)
+def batched_nms(
+    detections: jnp.ndarray,
+    conf_thresh: float = 0.5,
+    iou_thresh: float = 0.4,
+    max_det: int = 300,
+    score_mode: str = "obj",
+    class_agnostic: bool = False,
+) -> NMSResult:
+    """Class-wise NMS over a batch of decoded detections (N, D, 5+C).
+
+    Defaults mirror the reference CLI (confidence 0.5, nms_thresh 0.4,
+    SURVEY.md §5.6)."""
+    fn = functools.partial(
+        _nms_single,
+        conf_thresh=conf_thresh,
+        iou_thresh=iou_thresh,
+        max_det=max_det,
+        score_mode=score_mode,
+        class_agnostic=class_agnostic,
+    )
+    return jax.vmap(fn)(detections)

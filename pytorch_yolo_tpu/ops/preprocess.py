@@ -1,0 +1,94 @@
+"""On-device letterbox preprocessing: uint8 image -> network input tensor.
+
+Replaces the reference's host-side ``letterbox_image``/``prep_image``
+(SURVEY.md §2.1 #7): OpenCV resize + gray-pad + /255 + BGR->RGB + HWC->CHW on
+the CPU, then an H2D copy of the float tensor.  TPU-native version instead
+ships the *uint8 bytes* to the device (3-4x less PCIe/H2D traffic) and runs
+resize/pad/normalize as one jitted XLA program fused with the network forward
+— images go bytes-to-boxes without host round-trips (BASELINE.json:5).
+
+Letterbox contract ([A]+[B], SURVEY.md §1 L1):
+  * scale = min(S/W0, S/H0); new sizes truncated toward zero (int()).
+  * bilinear resize, antialias off (pin exact reference interpolation during
+    re-verification — SURVEY.md §7 hard parts).
+  * paste centered into an S x S canvas filled with gray 128.
+  * output float32 in [0,1], RGB, NHWC (TPU layout; the reference's CHW is
+    a torch convention with no meaning here).
+
+Shapes are static per (H0, W0, S): each distinct source resolution compiles
+once and is cached (video streams and fixed-size datasets hit one cache
+entry; SURVEY.md §7 P6 shape-bucketing note).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LetterboxGeometry(NamedTuple):
+    """Static geometry of a letterbox placement (host-side Python ints/floats)."""
+
+    scale: float
+    new_w: int
+    new_h: int
+    pad_x: int
+    pad_y: int
+    orig_w: int
+    orig_h: int
+    size: int
+
+
+def letterbox_geometry(orig_h: int, orig_w: int, size: int) -> LetterboxGeometry:
+    """Compute the (static) resize/pad geometry for an (H0, W0) -> S letterbox."""
+    scale = min(size / orig_w, size / orig_h)
+    new_w = int(orig_w * scale)
+    new_h = int(orig_h * scale)
+    return LetterboxGeometry(
+        scale=scale,
+        new_w=new_w,
+        new_h=new_h,
+        pad_x=(size - new_w) // 2,
+        pad_y=(size - new_h) // 2,
+        orig_w=orig_w,
+        orig_h=orig_h,
+        size=size,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill"))
+def letterbox_image(
+    img: jnp.ndarray,
+    size: int,
+    bgr: bool = True,
+    fill: float = 128.0,
+) -> jnp.ndarray:
+    """Letterbox one (H0, W0, 3) uint8 image to (S, S, 3) float32 in [0,1].
+
+    ``bgr=True`` flips the channel order (OpenCV decode convention)."""
+    h0, w0 = img.shape[0], img.shape[1]
+    geo = letterbox_geometry(h0, w0, size)
+
+    x = img.astype(jnp.float32)
+    if bgr:
+        x = x[..., ::-1]
+    resized = jax.image.resize(x, (geo.new_h, geo.new_w, 3), method="linear", antialias=False)
+    canvas = jnp.full((size, size, 3), fill, dtype=jnp.float32)
+    canvas = lax.dynamic_update_slice(canvas, resized, (geo.pad_y, geo.pad_x, 0))
+    return canvas / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill"))
+def letterbox_batch(
+    imgs: jnp.ndarray,
+    size: int,
+    bgr: bool = True,
+    fill: float = 128.0,
+) -> jnp.ndarray:
+    """Letterbox a uniform batch (N, H0, W0, 3) uint8 -> (N, S, S, 3) f32."""
+    fn = functools.partial(letterbox_image, size=size, bgr=bgr, fill=fill)
+    return jax.vmap(fn)(imgs)

@@ -1,0 +1,213 @@
+"""Darknet ``.weights`` binary IO and the JAX params pytree.
+
+Replaces the reference's ``Darknet.load_weights`` (SURVEY.md §2.1 #4, §3.1):
+a flat float32 stream consumed in cfg order, conv layers only.  Format
+(SURVEY.md §5.4, [B]-tier stable public format):
+
+    header:  int32 major, int32 minor, int32 revision
+             if major*10+minor >= 2:  uint64 seen   else:  int32 seen
+    body:    per conv layer, in cfg order:
+             if batch_normalize: bn_bias[o], bn_scale[o], bn_rmean[o], bn_rvar[o]
+             else:               conv_bias[o]
+             then conv_weight in (out, in, kh, kw) row-major order
+
+Getting the (bias, scale, mean, var) -> kernels order wrong produces garbage
+detections *silently* (SURVEY.md §3.1 invariant) — ``tests/test_weights.py``
+round-trips synthetic files to pin it.
+
+TPU-first design choices:
+  * Params are stored **NHWC-native**: conv kernels as (kh, kw, in, out)
+    ("HWIO"), the layout ``lax.conv_general_dilated`` consumes directly on
+    TPU — transposed once here at load time, never per step.
+  * BatchNorm is **folded into the conv** at load time (inference-only
+    framework): w' = w * gamma/sqrt(var+eps), b' = beta - gamma*mean/sqrt(..),
+    so the compiled forward is pure conv+bias+leaky with no BN ops at all.
+  * The pytree is a dict {layer_index: {"w": ..., "b": ...}} of numpy arrays;
+    ``jax.device_put`` happens in the API layer with the chosen sharding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+import numpy as np
+
+from .config import ConvSpec, ModelSpec
+
+BN_EPS = 1e-5  # Darknet batch_normalize epsilon (SURVEY.md §7 hard parts)
+
+Params = dict[int, dict[str, np.ndarray]]
+RawParams = dict[int, dict[str, np.ndarray]]
+
+
+class WeightsError(ValueError):
+    """Raised for truncated / oversized / malformed .weights content."""
+
+
+def _conv_specs(spec: ModelSpec) -> list[ConvSpec]:
+    return [l for l in spec.layers if isinstance(l, ConvSpec)]
+
+
+def param_count(spec: ModelSpec) -> int:
+    """Total float32 count of the body stream for this model."""
+    n = 0
+    for c in _conv_specs(spec):
+        n += 4 * c.filters if c.batch_normalize else c.filters
+        n += c.filters * c.in_channels * c.size * c.size
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+
+def read_weights_file(spec: ModelSpec, path: str) -> RawParams:
+    """Parse a Darknet .weights file into raw (un-folded) per-layer arrays.
+
+    Returns {conv_layer_index: {"w": (kh,kw,in,out) f32,
+                                "bn_beta"/"bn_gamma"/"bn_mean"/"bn_var" or "b"}}.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return read_weights_bytes(spec, data)
+
+
+def read_weights_bytes(spec: ModelSpec, data: bytes) -> RawParams:
+    if len(data) < 12:
+        raise WeightsError("file shorter than header")
+    major, minor, revision = np.frombuffer(data, dtype=np.int32, count=3)
+    offset = 12
+    if major * 10 + minor >= 2:
+        if len(data) < 20:
+            raise WeightsError("file shorter than v2 header")
+        offset += 8  # uint64 seen
+    else:
+        offset += 4  # int32 seen
+
+    flat = np.frombuffer(data, dtype=np.float32, offset=offset)
+    expected = param_count(spec)
+    if flat.size != expected:
+        raise WeightsError(
+            f"weight stream has {flat.size} floats, model needs {expected} "
+            f"(header v{major}.{minor}.{revision})"
+        )
+
+    params: RawParams = {}
+    ptr = 0
+
+    def take(n: int) -> np.ndarray:
+        nonlocal ptr
+        out = flat[ptr : ptr + n]
+        ptr += n
+        return out
+
+    for c in _conv_specs(spec):
+        entry: dict[str, np.ndarray] = {}
+        if c.batch_normalize:
+            entry["bn_beta"] = take(c.filters).copy()   # bn bias
+            entry["bn_gamma"] = take(c.filters).copy()  # bn scale
+            entry["bn_mean"] = take(c.filters).copy()
+            entry["bn_var"] = take(c.filters).copy()
+        else:
+            entry["b"] = take(c.filters).copy()
+        k = take(c.filters * c.in_channels * c.size * c.size)
+        # Darknet stores (out, in, kh, kw) row-major ("OIHW"); transpose once
+        # to TPU-native HWIO.
+        entry["w"] = np.ascontiguousarray(
+            k.reshape(c.filters, c.in_channels, c.size, c.size).transpose(2, 3, 1, 0)
+        )
+        params[c.index] = entry
+    return params
+
+
+def fold_batchnorm(spec: ModelSpec, raw: RawParams) -> Params:
+    """Fold BN statistics into conv weight/bias for inference.
+
+    y = gamma * (conv(x) - mean) / sqrt(var + eps) + beta
+      = conv(x) * s + (beta - mean * s),   s = gamma / sqrt(var + eps)
+    """
+    params: Params = {}
+    for c in _conv_specs(spec):
+        entry = raw[c.index]
+        w = entry["w"]
+        if c.batch_normalize:
+            s = entry["bn_gamma"] / np.sqrt(entry["bn_var"] + BN_EPS)
+            params[c.index] = {
+                "w": (w * s[None, None, None, :]).astype(np.float32),
+                "b": (entry["bn_beta"] - entry["bn_mean"] * s).astype(np.float32),
+            }
+        else:
+            params[c.index] = {"w": w.astype(np.float32), "b": entry["b"].astype(np.float32)}
+    return params
+
+
+def load_weights(spec: ModelSpec, path: str, fold_bn: bool = True) -> Params:
+    """One call: .weights file -> inference-ready params pytree (HWIO, BN folded)."""
+    raw = read_weights_file(spec, path)
+    return fold_batchnorm(spec, raw) if fold_bn else raw
+
+
+# ---------------------------------------------------------------------------
+# Writing (for synthetic-weights tests and darknet-format export)
+# ---------------------------------------------------------------------------
+
+
+def write_weights_file(
+    spec: ModelSpec,
+    raw: Mapping[int, Mapping[str, np.ndarray]],
+    path: str,
+    seen: int = 0,
+    version: tuple[int, int, int] = (0, 2, 0),
+) -> None:
+    """Serialize raw (un-folded) params back to Darknet .weights format.
+
+    The reference family optionally ships ``save_weights`` (SURVEY.md §2.1 #4);
+    here it also powers the synthetic round-trip test (SURVEY.md §4.2.2)."""
+    major, minor, revision = version
+    chunks: list[bytes] = [np.array([major, minor, revision], dtype=np.int32).tobytes()]
+    if major * 10 + minor >= 2:
+        chunks.append(np.array([seen], dtype=np.uint64).tobytes())
+    else:
+        chunks.append(np.array([seen], dtype=np.int32).tobytes())
+
+    for c in _conv_specs(spec):
+        entry = raw[c.index]
+        if c.batch_normalize:
+            for key in ("bn_beta", "bn_gamma", "bn_mean", "bn_var"):
+                chunks.append(np.asarray(entry[key], dtype=np.float32).tobytes())
+        else:
+            chunks.append(np.asarray(entry["b"], dtype=np.float32).tobytes())
+        w = np.asarray(entry["w"], dtype=np.float32)
+        # HWIO -> OIHW stream order
+        chunks.append(np.ascontiguousarray(w.transpose(3, 2, 0, 1)).tobytes())
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"".join(chunks))
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic initialization (offline testing: no pretrained assets needed)
+# ---------------------------------------------------------------------------
+
+
+def random_raw_params(spec: ModelSpec, seed: int = 0, scale: float = 0.05) -> RawParams:
+    """He-style random raw params for every conv layer (tests/benchmarks)."""
+    rng = np.random.default_rng(seed)
+    raw: RawParams = {}
+    for c in _conv_specs(spec):
+        fan_in = c.in_channels * c.size * c.size
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in), size=(c.size, c.size, c.in_channels, c.filters))
+        entry: dict[str, np.ndarray] = {"w": w.astype(np.float32)}
+        if c.batch_normalize:
+            entry["bn_beta"] = rng.normal(0, scale, c.filters).astype(np.float32)
+            entry["bn_gamma"] = (1.0 + rng.normal(0, scale, c.filters)).astype(np.float32)
+            entry["bn_mean"] = rng.normal(0, scale, c.filters).astype(np.float32)
+            entry["bn_var"] = (1.0 + np.abs(rng.normal(0, scale, c.filters))).astype(np.float32)
+        else:
+            entry["b"] = rng.normal(0, scale, c.filters).astype(np.float32)
+        raw[c.index] = entry
+    return raw
