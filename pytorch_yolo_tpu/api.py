@@ -79,11 +79,12 @@ class Detector:
         compute_dtype=jnp.float32,
         mesh=None,
         score_mode: str = "obj",
+        precision: str = "highest",
     ) -> None:
         self.spec = spec
         self.class_names = tuple(class_names) if class_names else load_classes()
         self.score_mode = score_mode
-        self._forward = build_forward(spec, compute_dtype=compute_dtype)
+        self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
         self.mesh = mesh
         if mesh is not None:
             self.params = replicate_params(
@@ -105,6 +106,7 @@ class Detector:
         names: str | None = None,
         mesh=None,
         compute_dtype=jnp.float32,
+        precision: str = "highest",
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -120,7 +122,7 @@ class Detector:
         else:
             params = fold_batchnorm(spec, random_raw_params(spec))
         return cls(spec, params, class_names=load_classes(names),
-                   mesh=mesh, compute_dtype=compute_dtype)
+                   mesh=mesh, compute_dtype=compute_dtype, precision=precision)
 
     # ------------------------------------------------------------------
     # Jitted pipeline construction (one XLA program per shape bucket)

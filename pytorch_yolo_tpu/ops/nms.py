@@ -101,7 +101,8 @@ def _select_topk(det: jnp.ndarray, conf_thresh: float, max_det: int, score_mode:
     rank = obj if score_mode == "obj" else obj * cls_score
     passed = obj > conf_thresh
     masked = jnp.where(passed, rank, -1.0)
-    top_scores, idx = lax.top_k(masked, max_det)
+    k = min(max_det, det.shape[0])  # static: D is the trace-time row count
+    top_scores, idx = lax.top_k(masked, k)
     sel = det[idx]
     return sel, obj[idx], cls_score[idx], cls_id[idx], top_scores > 0.0
 

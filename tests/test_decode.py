@@ -1,0 +1,59 @@
+"""YOLO decode parity vs the oracle predict_transform (SURVEY.md §4.2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.ops.decode import decode_all, decode_head
+from tests.oracle.torch_ref import decode_all_oracle, decode_oracle
+
+ANCHORS = ((81, 82), (135, 169), (344, 319))
+
+
+@pytest.mark.parametrize("g,stride,classes", [(13, 32, 80), (26, 16, 80), (7, 32, 3)])
+def test_decode_head_parity(g, stride, classes):
+    rng = np.random.default_rng(g)
+    a = len(ANCHORS)
+    raw_nhwc = rng.normal(0, 1, size=(2, g, g, a * (5 + classes))).astype(np.float32)
+    ours = np.asarray(decode_head(jnp.asarray(raw_nhwc), ANCHORS, stride, classes))
+    oracle = decode_oracle(raw_nhwc.transpose(0, 3, 1, 2), ANCHORS, stride, classes)
+    assert ours.shape == oracle.shape == (2, g * g * a, 5 + classes)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_box_semantics():
+    """Hand-check the decode math at a known cell (SURVEY.md §3.3 equations)."""
+    g, stride, classes = 4, 32, 2
+    a = len(ANCHORS)
+    raw = np.zeros((1, g, g, a * (5 + classes)), dtype=np.float32)
+    # cell (row=1, col=2), anchor 1: tx=ty=0 -> sigmoid=0.5
+    out = np.asarray(decode_head(jnp.asarray(raw), ANCHORS, stride, classes))
+    d = out[0].reshape(g, g, a, 5 + classes)
+    np.testing.assert_allclose(d[1, 2, 1, 0], (0.5 + 2) * stride)  # bx uses col
+    np.testing.assert_allclose(d[1, 2, 1, 1], (0.5 + 1) * stride)  # by uses row
+    np.testing.assert_allclose(d[1, 2, 1, 2], ANCHORS[1][0])  # bw = pw * e^0
+    np.testing.assert_allclose(d[1, 2, 1, 3], ANCHORS[1][1])
+    np.testing.assert_allclose(d[..., 4], 0.5)  # sigmoid(0)
+    np.testing.assert_allclose(d[..., 5:], 0.5)  # independent sigmoids
+
+
+@pytest.mark.parametrize("name,size,total", [
+    ("yolov3-tiny", 416, 2535),
+    ("yolov3", 416, 10647),
+    ("yolov3", 320, 6300),
+])
+def test_decode_all_concat(name, size, total):
+    spec = model_spec(name)
+    rng = np.random.default_rng(0)
+    heads = []
+    from pytorch_yolo_tpu.models.darknet import head_shapes
+
+    for shape in head_shapes(spec, size):
+        heads.append(jnp.asarray(rng.normal(0, 1, size=shape).astype(np.float32)))
+    ours = np.asarray(decode_all(tuple(heads), spec, size))
+    assert ours.shape == (1, total, 85)
+    oracle = decode_all_oracle(
+        spec, [np.asarray(h).transpose(0, 3, 1, 2) for h in heads], size)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,89 @@
+"""Forward-pass parity vs the torch oracle (SURVEY.md §4.2.1/.3).
+
+The oracle runs NCHW/OIHW with *un-folded* BatchNorm; the framework runs
+NHWC/HWIO with BN folded into the conv — agreement pins both the layout
+transposes and the folding math across the whole network, including the
+route/shortcut topology and the tiny maxpool stride-1 quirk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_yolo_tpu.models.darknet import build_forward, head_shapes
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+from tests.oracle.torch_ref import forward_oracle, raw_to_oracle
+
+
+def _run_both(name: str, size: int, seed: int = 0, batch: int = 1):
+    spec = model_spec(name)
+    raw = random_raw_params(spec, seed=seed)
+    params = jax.tree_util.tree_map(jnp.asarray, fold_batchnorm(spec, raw))
+    fwd = jax.jit(build_forward(spec))
+
+    rng = np.random.default_rng(seed)
+    x_nhwc = rng.uniform(0, 1, size=(batch, size, size, 3)).astype(np.float32)
+    heads_jax = fwd(params, jnp.asarray(x_nhwc))
+    heads_torch = forward_oracle(spec, raw_to_oracle(raw), x_nhwc.transpose(0, 3, 1, 2))
+    return spec, heads_jax, heads_torch
+
+
+@pytest.mark.parametrize("size", [416, 320])
+def test_tiny_forward_parity(size):
+    spec, heads_jax, heads_torch = _run_both("yolov3-tiny", size)
+    assert len(heads_jax) == len(heads_torch) == 2
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        np.testing.assert_allclose(np.asarray(hj), ht_nhwc, rtol=1e-4, atol=1e-4)
+
+
+def test_full_forward_parity():
+    spec, heads_jax, heads_torch = _run_both("yolov3", 416)
+    assert len(heads_jax) == 3
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        # 75 convs + 23 residual adds of fp32 accumulation with synthetic
+        # (variance-unstable) weights: a handful of elements drift to ~1e-2
+        # relative.  Semantic bugs (wrong layout/topology/precision) move
+        # *most* elements, so require near-total agreement at tight tolerance
+        # and bounded worst-case drift.
+        # (measured: activations reach ~1e5 absmax with these weights; 99.9%
+        # of elements agree within ~8e-4 relative, worst case ~3e-2)
+        ours, theirs = np.asarray(hj), ht_nhwc
+        close = np.isclose(ours, theirs, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998, f"only {close.mean():.4%} within tight tol"
+        rel = np.abs(ours - theirs) / (np.abs(theirs) + 1.0)
+        assert np.quantile(rel, 0.999) < 2e-3, f"p999 rel {np.quantile(rel, 0.999):.3e}"
+        assert rel.max() < 5e-2, f"worst-case rel drift {rel.max():.3e}"
+
+
+def test_head_shapes():
+    spec = model_spec("yolov3")
+    assert head_shapes(spec, 416, batch=2) == (
+        (2, 13, 13, 255), (2, 26, 26, 255), (2, 52, 52, 255))
+    tiny = model_spec("yolov3-tiny")
+    assert head_shapes(tiny, 416) == ((1, 13, 13, 255), (1, 26, 26, 255))
+
+
+def test_maxpool_stride1_preserves_grid():
+    """The tiny layer-11 maxpool(size=2, stride=1) must keep 13x13
+    (SURVEY.md §7 hard parts)."""
+    spec, heads_jax, _ = _run_both("yolov3-tiny", 416)
+    assert heads_jax[0].shape[1:3] == (13, 13)
+
+
+def test_batched_forward_matches_single():
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=1)
+    params = jax.tree_util.tree_map(jnp.asarray, fold_batchnorm(spec, raw))
+    fwd = jax.jit(build_forward(spec))
+    rng = np.random.default_rng(1)
+    xb = rng.uniform(0, 1, size=(3, 416, 416, 3)).astype(np.float32)
+    hb = fwd(params, jnp.asarray(xb))
+    for i in range(3):
+        hs = fwd(params, jnp.asarray(xb[i : i + 1]))
+        for b, s in zip(hb, hs):
+            np.testing.assert_allclose(np.asarray(b[i]), np.asarray(s[0]), rtol=1e-5, atol=1e-5)

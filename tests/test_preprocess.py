@@ -1,0 +1,79 @@
+"""Letterbox preprocessing tests vs the numpy oracle (SURVEY.md §4.2.3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_yolo_tpu.ops.postprocess import unletterbox_boxes
+from pytorch_yolo_tpu.ops.preprocess import (
+    letterbox_batch,
+    letterbox_geometry,
+    letterbox_image,
+)
+from tests.oracle.torch_ref import letterbox_oracle
+
+
+def test_geometry():
+    g = letterbox_geometry(480, 640, 416)
+    assert g.scale == 416 / 640
+    assert g.new_w == 416 and g.new_h == int(480 * 416 / 640) == 312
+    assert g.pad_x == 0 and g.pad_y == (416 - 312) // 2 == 52
+    tall = letterbox_geometry(640, 480, 416)
+    assert tall.new_h == 416 and tall.pad_y == 0 and tall.pad_x == (416 - tall.new_w) // 2
+
+
+@pytest.mark.parametrize("h,w", [(480, 640), (640, 480), (416, 416), (123, 457)])
+def test_letterbox_matches_oracle(h, w, rng):
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ours = np.asarray(letterbox_image(jnp.asarray(img), size=416))
+    oracle = letterbox_oracle(img, 416)
+    assert ours.shape == oracle.shape == (416, 416, 3)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_pad_fill_value(rng):
+    img = rng.integers(0, 256, size=(100, 400, 3), dtype=np.uint8)
+    out = np.asarray(letterbox_image(jnp.asarray(img), size=416))
+    # top rows are pure pad
+    np.testing.assert_allclose(out[0], 128.0 / 255.0)
+    np.testing.assert_allclose(out[-1], 128.0 / 255.0)
+
+
+def test_bgr_flip(rng):
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    img[..., 0] = 200  # blue channel in BGR
+    out_bgr = np.asarray(letterbox_image(jnp.asarray(img), size=64, bgr=True))
+    out_rgb = np.asarray(letterbox_image(jnp.asarray(img), size=64, bgr=False))
+    # bgr=True: blue ends up in channel 2 (RGB order)
+    assert out_bgr[32, 32, 2] > 0.7 and out_bgr[32, 32, 0] == 0
+    assert out_rgb[32, 32, 0] > 0.7 and out_rgb[32, 32, 2] == 0
+
+
+def test_batch_matches_single(rng):
+    imgs = rng.integers(0, 256, size=(4, 240, 320, 3), dtype=np.uint8)
+    batch = np.asarray(letterbox_batch(jnp.asarray(imgs), size=416))
+    for i in range(4):
+        single = np.asarray(letterbox_image(jnp.asarray(imgs[i]), size=416))
+        np.testing.assert_allclose(batch[i], single, rtol=1e-6, atol=1e-6)
+
+
+def test_unletterbox_inverts_letterbox():
+    geo = letterbox_geometry(480, 640, 416)
+    # a box in original coords -> letterboxed coords -> back
+    orig = np.array([[100.0, 50.0, 300.0, 400.0]], dtype=np.float32)
+    lb = np.stack([
+        orig[:, 0] * geo.scale + geo.pad_x,
+        orig[:, 1] * geo.scale + geo.pad_y,
+        orig[:, 2] * geo.scale + geo.pad_x,
+        orig[:, 3] * geo.scale + geo.pad_y,
+    ], axis=-1)
+    back = np.asarray(unletterbox_boxes(jnp.asarray(lb), geo))
+    np.testing.assert_allclose(back, orig, rtol=1e-5, atol=1e-3)
+
+
+def test_unletterbox_clamps():
+    geo = letterbox_geometry(480, 640, 416)
+    wild = jnp.asarray([[-50.0, -50.0, 5000.0, 5000.0]])
+    out = np.asarray(unletterbox_boxes(wild, geo))
+    assert out[0, 0] >= 0 and out[0, 1] >= 0
+    assert out[0, 2] <= 640 and out[0, 3] <= 480

@@ -1,0 +1,85 @@
+"""Multi-device batch sharding on the simulated 8-device CPU mesh.
+
+SURVEY.md §4.2.4 / §2.3: data-parallel batch sharding via NamedSharding must
+produce results identical to single-device execution, with XLA gathering
+outputs over the (simulated) interconnect."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_yolo_tpu as pyt
+from pytorch_yolo_tpu.parallel.sharding import (
+    batch_sharding,
+    make_batch_mesh,
+    pad_to_multiple,
+    replicate_params,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    return make_batch_mesh()
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("batch",)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(1, 8) == 8
+    assert pad_to_multiple(8, 8) == 8
+    assert pad_to_multiple(9, 8) == 16
+
+
+def test_shard_batch_placement(mesh):
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sx = shard_batch(x, mesh)
+    assert sx.sharding == batch_sharding(mesh)
+    # each device holds one row
+    assert {s.data.shape for s in sx.addressable_shards} == {(1, 4)}
+
+
+def test_replicated_params(mesh):
+    params = {"w": np.ones((3, 3), np.float32)}
+    rp = replicate_params(params, mesh)
+    assert len(rp["w"].sharding.device_set) == 8
+
+
+def test_sharded_detector_matches_single_device(mesh):
+    det_single = pyt.Detector.load("yolov3-tiny")
+    det_mesh = pyt.Detector(det_single.spec,
+                            jax.tree_util.tree_map(np.asarray, det_single.params),
+                            mesh=mesh)
+    imgs = np.random.default_rng(0).integers(0, 256, size=(8, 320, 320, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, conf=0.3)
+    r_mesh = det_mesh.detect_batch(imgs, conf=0.3)
+    assert len(r_single) == len(r_mesh) == 8
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_sharded_detector_pads_ragged_batch(mesh):
+    det = pyt.Detector.load("yolov3-tiny", mesh=mesh)
+    imgs = np.random.default_rng(1).integers(0, 256, size=(5, 320, 320, 3), dtype=np.uint8)
+    res = det.detect_batch(imgs, conf=0.3)
+    assert len(res) == 5  # padding rows trimmed
+
+
+def test_jitted_pipeline_output_is_batch_sharded(mesh):
+    """The compiled program consumes sharded inputs and produces
+    batch-sharded outputs (gather happens only at the final D2H)."""
+    det = pyt.Detector.load("yolov3-tiny", mesh=mesh)
+    imgs = np.zeros((8, 320, 320, 3), dtype=np.uint8)
+    det.detect_batch(imgs, size=320, conf=0.5)  # compile + cache
+    (key, fn), = det._pipelines.items()
+    res = fn(det.params, jax.device_put(imgs, batch_sharding(mesh)))
+    assert res.boxes.shape[0] == 8
+    # result stays distributed across all 8 devices until host trim
+    assert len(res.boxes.sharding.device_set) == 8

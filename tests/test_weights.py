@@ -1,0 +1,131 @@
+"""Weights IO tests: round-trip, cross-reader parity, BN folding, counts.
+
+SURVEY.md §4.2.2 (synthetic weights round-trip) and §3.1 invariant (the
+silent-garbage failure mode of wrong stream order)."""
+
+import numpy as np
+import pytest
+import torch
+
+from pytorch_yolo_tpu.config import ConvSpec
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.weights import (
+    BN_EPS,
+    WeightsError,
+    fold_batchnorm,
+    load_weights,
+    param_count,
+    random_raw_params,
+    read_weights_bytes,
+    read_weights_file,
+    write_weights_file,
+)
+from tests.oracle.torch_ref import read_weights_oracle
+
+
+@pytest.mark.parametrize("name,expect", [
+    # body float counts from the known file sizes (SURVEY.md §5.4):
+    # yolov3.weights 248,007,048 B, tiny 35,434,956 B; minus 20 B header, /4.
+    ("yolov3", 62001757),
+    ("yolov3-tiny", 8858734),
+])
+def test_param_count_matches_known_file_sizes(name, expect):
+    assert param_count(model_spec(name)) == expect
+
+
+def test_round_trip_exact(tmp_path):
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=7)
+    path = str(tmp_path / "tiny.weights")
+    write_weights_file(spec, raw, path, seen=1234)
+    back = read_weights_file(spec, path)
+    assert set(back) == set(raw)
+    for idx in raw:
+        for key in raw[idx]:
+            np.testing.assert_array_equal(back[idx][key], raw[idx][key].astype(np.float32))
+
+
+def test_v1_header_round_trip(tmp_path):
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=3)
+    path = str(tmp_path / "v1.weights")
+    write_weights_file(spec, raw, path, seen=5, version=(0, 1, 0))
+    back = read_weights_file(spec, path)
+    np.testing.assert_array_equal(back[0]["w"], raw[0]["w"].astype(np.float32))
+
+
+def test_cross_reader_parity(tmp_path):
+    """Framework reader agrees with the independent oracle reader."""
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=11)
+    path = str(tmp_path / "x.weights")
+    write_weights_file(spec, raw, path)
+    ours = read_weights_file(spec, path)
+    oracle = read_weights_oracle(spec, path)
+    for layer in spec.layers:
+        if not isinstance(layer, ConvSpec):
+            continue
+        i = layer.index
+        # HWIO (ours) vs OIHW (oracle)
+        np.testing.assert_array_equal(
+            ours[i]["w"].transpose(3, 2, 0, 1), oracle[i]["w_oihw"]
+        )
+        if layer.batch_normalize:
+            for key in ("bn_beta", "bn_gamma", "bn_mean", "bn_var"):
+                np.testing.assert_array_equal(ours[i][key], oracle[i][key])
+        else:
+            np.testing.assert_array_equal(ours[i]["b"], oracle[i]["b"])
+
+
+def test_truncated_and_oversized_rejected(tmp_path):
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec)
+    path = str(tmp_path / "t.weights")
+    write_weights_file(spec, raw, path)
+    data = open(path, "rb").read()
+    with pytest.raises(WeightsError):
+        read_weights_bytes(spec, data[:-4])
+    with pytest.raises(WeightsError):
+        read_weights_bytes(spec, data + b"\x00\x00\x80?")
+    with pytest.raises(WeightsError):
+        read_weights_bytes(spec, data[:8])
+
+
+def test_bn_fold_matches_torch_batchnorm():
+    """Folded conv+bias == torch eval-mode BatchNorm applied to conv output."""
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec, seed=5)
+    folded = fold_batchnorm(spec, raw)
+    conv0 = spec.layers[0]
+    assert isinstance(conv0, ConvSpec) and conv0.batch_normalize
+
+    x = np.random.default_rng(0).normal(size=(1, 3, 16, 16)).astype(np.float32)
+    w = torch.from_numpy(raw[0]["w"].transpose(3, 2, 0, 1).copy())
+    y = torch.nn.functional.conv2d(torch.from_numpy(x), w, None, 1, 1)
+    y = torch.nn.functional.batch_norm(
+        y,
+        torch.from_numpy(raw[0]["bn_mean"]),
+        torch.from_numpy(raw[0]["bn_var"]),
+        torch.from_numpy(raw[0]["bn_gamma"]),
+        torch.from_numpy(raw[0]["bn_beta"]),
+        training=False,
+        eps=BN_EPS,
+    ).numpy()
+
+    wf = torch.from_numpy(folded[0]["w"].transpose(3, 2, 0, 1).copy())
+    bf = torch.from_numpy(folded[0]["b"])
+    yf = torch.nn.functional.conv2d(torch.from_numpy(x), wf, bf, 1, 1).numpy()
+    np.testing.assert_allclose(yf, y, rtol=1e-5, atol=1e-5)
+
+
+def test_load_weights_folds_by_default(tmp_path):
+    spec = model_spec("yolov3-tiny")
+    raw = random_raw_params(spec)
+    path = str(tmp_path / "f.weights")
+    write_weights_file(spec, raw, path)
+    params = load_weights(spec, path)
+    for layer in spec.layers:
+        if isinstance(layer, ConvSpec):
+            assert set(params[layer.index]) == {"w", "b"}
+            assert params[layer.index]["w"].shape == (
+                layer.size, layer.size, layer.in_channels, layer.filters)
