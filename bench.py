@@ -1,0 +1,136 @@
+"""Benchmark harness: COCO-val-style images/sec/chip at 416x416 (BASELINE.json:2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} on stdout;
+all diagnostics go to stderr.
+
+The metric is end-to-end throughput of the full jitted pipeline (uint8 HWC
+image in -> NMS'd boxes out) for full YOLOv3 at 416x416 on one chip, fp32
+HIGHEST precision (the bit-faithful parity mode, SURVEY.md §7).
+
+``vs_baseline`` is measured against the PyTorch-reference-equivalent CPU
+implementation (tests/oracle/torch_ref.py — the same ops/conventions the
+reference uses, torch-cpu) following BASELINE.md's instruction to use the
+locally-measured CPU number as the ">5x" denominator.  The CPU baseline is
+measured once and cached in .bench_cpu_baseline.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_cpu_baseline(size: int = 416, iters: int = 3) -> float:
+    """Reference-equivalent torch-CPU pipeline images/sec (the >5x denominator)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("size") == size:
+            log(f"cpu baseline (cached): {cached['images_per_sec']:.3f} img/s")
+            return cached["images_per_sec"]
+
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import random_raw_params
+    from tests.oracle.torch_ref import (
+        decode_all_oracle,
+        forward_oracle,
+        letterbox_oracle,
+        nms_oracle,
+        raw_to_oracle,
+    )
+
+    spec = model_spec("yolov3")
+    raw = raw_to_oracle(random_raw_params(spec, seed=0))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+
+    # warmup
+    x = letterbox_oracle(img, size)
+    heads = forward_oracle(spec, raw, x.transpose(2, 0, 1)[None])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = letterbox_oracle(img, size)
+        heads = forward_oracle(spec, raw, x.transpose(2, 0, 1)[None])
+        dec = decode_all_oracle(spec, heads, size)
+        nms_oracle(dec[0], 0.6, 0.45)
+    ips = iters / (time.perf_counter() - t0)
+    with open(CACHE, "w") as f:
+        json.dump({"size": size, "images_per_sec": ips}, f)
+    log(f"cpu baseline (measured): {ips:.3f} img/s")
+    return ips
+
+
+def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
+                compute_dtype: str, precision: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector
+
+    log(f"devices: {jax.devices()}")
+    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype), precision=precision)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
+
+    t0 = time.perf_counter()
+    res = det.raw_result(imgs, size=size, conf=0.6, iou=0.45)
+    jax.block_until_ready(res.boxes)
+    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(warmup):
+        jax.block_until_ready(det.raw_result(imgs, size=size, conf=0.6, iou=0.45).boxes)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = det.raw_result(imgs, size=size, conf=0.6, iou=0.45)
+    jax.block_until_ready(res.boxes)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"{model}@{size} batch={batch} dtype={compute_dtype}/{precision}: "
+        f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
+    return ips
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov3")
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--precision", default="highest")
+    ap.add_argument("--skip-cpu-baseline", action="store_true")
+    args = ap.parse_args()
+
+    ips = measure_tpu(args.model, args.size, args.batch, args.iters, args.warmup,
+                      args.dtype, args.precision)
+    if args.skip_cpu_baseline:
+        base = None
+    else:
+        base = measure_cpu_baseline(args.size)
+
+    print(json.dumps({
+        "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end bytes-to-boxes, "
+                  f"{args.dtype}/{args.precision})",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / base, 2) if base else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

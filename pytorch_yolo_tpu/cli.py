@@ -1,0 +1,196 @@
+"""Command-line entry points: image/directory detection and video/webcam.
+
+Replaces the reference's ``detect.py`` / ``video_demo.py`` / ``cam_demo.py``
+(SURVEY.md §2.1 #9-10, §1 L6) with one argparse CLI:
+
+    python -m pytorch_yolo_tpu.cli detect --images dog.jpg --model yolov3 \\
+        --weights yolov3.weights --reso 416 --det out/
+    python -m pytorch_yolo_tpu.cli video --source clip.mp4 --model yolov3-tiny
+    python -m pytorch_yolo_tpu.cli video --source 0            # webcam
+
+Flag names mirror the reference CLI (--confidence, --nms_thresh, --reso,
+SURVEY.md §5.6a).  ``--profile`` wraps the run in ``jax.profiler.trace`` for a
+Perfetto timeline (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from .api import Detector
+from .utils.draw import draw_detections
+from .utils.profiling import PipelineStats
+
+log = logging.getLogger("pytorch_yolo_tpu")
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default=None,
+                   help="zoo model name (yolov3, yolov3-tiny)")
+    p.add_argument("--cfg", default=None, help="Darknet .cfg path")
+    p.add_argument("--weights", default=None, help="Darknet .weights path")
+    p.add_argument("--names", default=None, help=".names file (default COCO-80)")
+    p.add_argument("--confidence", type=float, default=0.5)
+    p.add_argument("--nms_thresh", type=float, default=0.4)
+    p.add_argument("--reso", type=int, default=416, choices=(320, 416, 608),
+                   help="network input resolution")
+    p.add_argument("--max_det", type=int, default=300)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (MXU speed mode, not bit-faithful)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _build_detector(args) -> Detector:
+    import jax.numpy as jnp
+
+    source = args.cfg or args.model
+    if source is None:
+        raise SystemExit("one of --model / --cfg is required")
+    kw = {}
+    if args.bf16:
+        kw = dict(compute_dtype=jnp.bfloat16, precision="default")
+    det = Detector.load(source, args.weights, names=args.names, **kw)
+    if args.weights is None:
+        log.warning("no --weights given: using synthetic random weights")
+    return det
+
+
+@contextlib.contextmanager
+def _maybe_profile(trace_dir):
+    if trace_dir:
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            yield
+    else:
+        yield
+
+
+def cmd_detect(args) -> int:
+    import cv2
+
+    det = _build_detector(args)
+    if os.path.isdir(args.images):
+        paths = sorted(
+            os.path.join(args.images, f) for f in os.listdir(args.images)
+            if f.lower().endswith(IMAGE_EXTS))
+    else:
+        paths = [args.images]
+    if not paths:
+        raise SystemExit(f"no images found in {args.images}")
+    os.makedirs(args.det, exist_ok=True)
+
+    stats = PipelineStats()
+    stats.start()
+    for path in paths:
+        with stats.stage("read"):
+            img = cv2.imread(path)
+        if img is None:
+            log.warning("cannot read %s, skipping", path)
+            continue
+        with stats.stage("detect"):
+            d = det.detect(img, size=args.reso, conf=args.confidence,
+                           iou=args.nms_thresh, max_det=args.max_det)
+        with stats.stage("draw+write"):
+            draw_detections(img, d.boxes, d.cls_id, d.obj, det.class_names)
+            out_path = os.path.join(args.det, "det_" + os.path.basename(path))
+            cv2.imwrite(out_path, img)
+        stats.count()
+        names = [det.class_names[c] for c in d.cls_id]
+        log.info("%s: %d objects %s -> %s", path, len(d), sorted(set(names)), out_path)
+    print(stats.report(), file=sys.stderr)
+    return 0
+
+
+def cmd_video(args) -> int:
+    import cv2
+
+    from .video import run_video
+
+    det = _build_detector(args)
+    source = int(args.source) if args.source.isdigit() else args.source
+    writer = None
+    stats = PipelineStats()
+    shown = 0
+    t0 = time.perf_counter()
+    for fr in run_video(source, det, size=args.reso, conf=args.confidence,
+                        iou=args.nms_thresh, max_det=args.max_det,
+                        stats=stats, max_frames=args.frames):
+        d = fr.detection
+        draw_detections(fr.frame, d.boxes, d.cls_id, d.obj, det.class_names)
+        if args.out:
+            if writer is None:
+                h, w = fr.frame.shape[:2]
+                writer = cv2.VideoWriter(
+                    args.out, cv2.VideoWriter_fourcc(*"mp4v"),
+                    args.fps, (w, h))
+            writer.write(fr.frame)
+        if args.show:
+            cv2.imshow("pytorch_yolo_tpu", fr.frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        shown += 1
+        if shown % 50 == 0:
+            fps = shown / (time.perf_counter() - t0)
+            log.info("frame %d  FPS %.1f", fr.index, fps)
+    if writer is not None:
+        writer.release()
+    print(stats.report(), file=sys.stderr)
+    return 0
+
+
+def cmd_export_cfg(args) -> int:
+    from .models.zoo import write_cfg
+
+    write_cfg(args.model, args.out, classes=args.classes)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pytorch_yolo_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("detect", help="detect objects in image(s)")
+    _add_common(p)
+    p.add_argument("--images", required=True, help="image file or directory")
+    p.add_argument("--det", default="det", help="output directory")
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("video", help="video file / webcam detection")
+    _add_common(p)
+    p.add_argument("--source", required=True, help="video path or webcam index")
+    p.add_argument("--out", default=None, help="output video path (mp4)")
+    p.add_argument("--show", action="store_true", help="cv2.imshow preview")
+    p.add_argument("--fps", type=float, default=30.0, help="output video fps")
+    p.add_argument("--frames", type=int, default=None, help="stop after N frames")
+    p.set_defaults(fn=cmd_video)
+
+    p = sub.add_parser("export-cfg", help="emit a zoo model as a Darknet .cfg")
+    p.add_argument("--model", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--classes", type=int, default=80)
+    p.set_defaults(fn=cmd_export_cfg)
+
+    args = ap.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s")
+    with _maybe_profile(getattr(args, "profile", None)):
+        return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
