@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import ModelSpec, load_model_spec
+from .config import ModelSpec, build_spec, parse_cfg_text
 from .models.darknet import build_forward
-from .models.zoo import model_spec as zoo_spec
 from .ops.decode import decode_all
 from .ops.nms import NMSResult, batched_nms
 from .ops.postprocess import unletterbox_boxes
@@ -80,8 +79,10 @@ class Detector:
         mesh=None,
         score_mode: str = "obj",
         precision: str = "highest",
+        cfg_text: str | None = None,
     ) -> None:
         self.spec = spec
+        self.cfg_text = cfg_text
         self.class_names = tuple(class_names) if class_names else load_classes()
         self.score_mode = score_mode
         self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
@@ -114,15 +115,37 @@ class Detector:
         With ``weights=None`` the model gets synthetic random weights
         (offline testing; SURVEY.md §4.2)."""
         if cfg.endswith(".cfg"):
-            spec = load_model_spec(cfg)
+            with open(cfg, "r", encoding="utf-8") as f:
+                cfg_text = f.read()
         else:
-            spec = zoo_spec(cfg)
+            from .models.zoo import _GENERATORS
+
+            cfg_text = _GENERATORS[cfg]()
+        spec = build_spec(parse_cfg_text(cfg_text))
         if weights is not None:
             params = load_weights(spec, weights)
         else:
             params = fold_batchnorm(spec, random_raw_params(spec))
         return cls(spec, params, class_names=load_classes(names),
-                   mesh=mesh, compute_dtype=compute_dtype, precision=precision)
+                   mesh=mesh, compute_dtype=compute_dtype, precision=precision,
+                   cfg_text=cfg_text)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the converted (folded, HWIO) params + cfg so future loads
+        skip .weights parsing entirely (SURVEY.md §5.4)."""
+        from .utils.checkpoint import save_checkpoint
+
+        if self.cfg_text is None:
+            raise ValueError("detector has no cfg text to checkpoint")
+        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        save_checkpoint(path, self.cfg_text, host_params, self.class_names)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Detector":
+        from .utils.checkpoint import load_checkpoint
+
+        spec, cfg_text, params, names = load_checkpoint(path)
+        return cls(spec, params, class_names=names, cfg_text=cfg_text, **kw)
 
     # ------------------------------------------------------------------
     # Jitted pipeline construction (one XLA program per shape bucket)

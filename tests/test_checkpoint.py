@@ -1,0 +1,50 @@
+"""Orbax checkpoint persistence of the converted params pytree (SURVEY.md §5.4)."""
+
+import numpy as np
+import pytest
+
+import pytorch_yolo_tpu as pyt
+from pytorch_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_round_trip(tmp_path):
+    det = pyt.Detector.load("yolov3-tiny")
+    ckpt = str(tmp_path / "ckpt")
+    det.save_checkpoint(ckpt)
+
+    det2 = pyt.Detector.from_checkpoint(ckpt)
+    assert det2.spec == det.spec
+    assert det2.class_names == det.class_names
+    for idx in det.params:
+        np.testing.assert_array_equal(
+            np.asarray(det2.params[idx]["w"]), np.asarray(det.params[idx]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(det2.params[idx]["b"]), np.asarray(det.params[idx]["b"]))
+
+    img = np.random.default_rng(0).integers(0, 256, (240, 320, 3), dtype=np.uint8)
+    a = det.detect(img, size=320, conf=0.5)
+    b = det2.detect(img, size=320, conf=0.5)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.boxes, b.boxes, rtol=0, atol=0)
+
+
+def test_checkpoint_version_guard(tmp_path):
+    det = pyt.Detector.load("yolov3-tiny")
+    ckpt = str(tmp_path / "ckpt")
+    det.save_checkpoint(ckpt)
+    import json, os
+
+    meta_path = os.path.join(ckpt, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["format_version"] = 999
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="newer"):
+        load_checkpoint(ckpt)
+
+
+def test_detector_without_cfg_text_refuses(tmp_path):
+    spec = pyt.model_spec("yolov3-tiny")
+    params = pyt.fold_batchnorm(spec, pyt.random_raw_params(spec))
+    det = pyt.Detector(spec, params)
+    with pytest.raises(ValueError, match="cfg text"):
+        det.save_checkpoint(str(tmp_path / "c"))
