@@ -85,18 +85,21 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
 
+    # NOTE: under the tunneled-TPU runtime jax.block_until_ready is not a
+    # reliable fence; a real D2H fetch is.  The device executes queued work
+    # in order, so fetching the last iteration's result bounds the whole loop.
     t0 = time.perf_counter()
     res = det.raw_result(imgs, size=size, conf=0.6, iou=0.45)
-    jax.block_until_ready(res.boxes)
+    np.asarray(res.boxes)
     log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     for _ in range(warmup):
-        jax.block_until_ready(det.raw_result(imgs, size=size, conf=0.6, iou=0.45).boxes)
+        np.asarray(det.raw_result(imgs, size=size, conf=0.6, iou=0.45).boxes)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         res = det.raw_result(imgs, size=size, conf=0.6, iou=0.45)
-    jax.block_until_ready(res.boxes)
+    np.asarray(res.boxes)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     log(f"{model}@{size} batch={batch} dtype={compute_dtype}/{precision}: "

@@ -26,7 +26,8 @@ import numpy as np
 from .config import ModelSpec, build_spec, parse_cfg_text
 from .models.darknet import build_forward
 from .ops.decode import decode_all
-from .ops.nms import NMSResult, batched_nms
+from .ops.nms import NMSResult, batched_nms, batched_nms_fused
+from .ops.pallas_kernels import decode_score_all
 from .ops.postprocess import unletterbox_boxes
 from .ops.preprocess import letterbox_batch, letterbox_geometry
 from .parallel.sharding import (
@@ -80,11 +81,13 @@ class Detector:
         score_mode: str = "obj",
         precision: str = "highest",
         cfg_text: str | None = None,
+        use_pallas: bool | None = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
         self.class_names = tuple(class_names) if class_names else load_classes()
         self.score_mode = score_mode
+        self.use_pallas = use_pallas
         self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
         self.mesh = mesh
         if mesh is not None:
@@ -157,16 +160,19 @@ class Detector:
         spec = self.spec
         score_mode = self.score_mode
 
+        use_pallas = self.use_pallas
+
         def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
             x = letterbox_batch(imgs, size=key.size, bgr=key.bgr)
             heads = forward(params, x)
-            det = decode_all(heads, spec, key.size)
-            res = batched_nms(
-                det,
+            rows = decode_score_all(heads, spec, key.size,
+                                    score_mode=score_mode, use_pallas=use_pallas)
+            res = batched_nms_fused(
+                rows,
                 conf_thresh=key.conf,
                 iou_thresh=key.iou,
                 max_det=key.max_det,
-                score_mode=score_mode,
+                use_pallas=use_pallas,
             )
             return res._replace(boxes=unletterbox_boxes(res.boxes, geo))
 

@@ -127,6 +127,52 @@ def _nms_single(
     return NMSResult(boxes=boxes, obj=obj, cls_score=cls_score, cls_id=cls_id, valid=keep)
 
 
+def batched_nms_fused(
+    rows: jnp.ndarray,
+    conf_thresh: float = 0.5,
+    iou_thresh: float = 0.4,
+    max_det: int = 300,
+    class_agnostic: bool = False,
+    use_pallas: bool | None = None,
+) -> NMSResult:
+    """NMS over fused decode+score rows (N, D, 8) from
+    :func:`pytorch_yolo_tpu.ops.pallas_kernels.decode_score_all`.
+
+    Columns: x1, y1, x2, y2, obj, cls_score, cls_id, rank.  Selection and
+    suppression semantics are identical to :func:`batched_nms`; the input is
+    simply pre-reduced (no 85-column tensor, no center->corner step), and the
+    greedy suppression can run as a Pallas VMEM kernel on TPU."""
+    n, d, _ = rows.shape
+    k = min(max_det, d)
+
+    obj = rows[..., 4]
+    rank = rows[..., 7]
+    masked = jnp.where(obj > conf_thresh, rank, -1.0)
+    top_rank, idx = lax.top_k(masked, k)  # (N, K)
+    sel = jnp.take_along_axis(rows, idx[..., None], axis=1)  # (N, K, 8)
+    valid = top_rank > 0.0
+
+    boxes = sel[..., 0:4]
+    cls_id = sel[..., 6].astype(jnp.int32)
+    if class_agnostic:
+        shifted = boxes
+    else:
+        shifted = boxes + (sel[..., 6] * CLASS_OFFSET)[..., None]
+
+    from .pallas_kernels import nms_keep_pallas, _on_tpu
+
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        keep = nms_keep_pallas(shifted, valid, iou_thresh)
+    else:
+        keep = jax.vmap(
+            lambda b, v: greedy_suppress(iou_matrix(b), v, iou_thresh)
+        )(shifted, valid)
+    return NMSResult(boxes=boxes, obj=sel[..., 4], cls_score=sel[..., 5],
+                     cls_id=cls_id, valid=keep)
+
+
 @functools.partial(
     jax.jit, static_argnames=("conf_thresh", "iou_thresh", "max_det", "score_mode", "class_agnostic")
 )
