@@ -48,12 +48,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax NaN checking (debug mode, SURVEY.md §5.2)")
     p.add_argument("-v", "--verbose", action="store_true")
 
 
 def _build_detector(args) -> Detector:
     import jax.numpy as jnp
 
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     source = args.cfg or args.model
     if source is None:
         raise SystemExit("one of --model / --cfg is required")
@@ -93,22 +99,34 @@ def cmd_detect(args) -> int:
 
     stats = PipelineStats()
     stats.start()
+
+    # Group images by source shape so each group runs as true batches under
+    # one compiled pipeline (BASELINE.json:9 batched inference).
+    groups: dict[tuple, list[tuple[str, "np.ndarray"]]] = {}
     for path in paths:
         with stats.stage("read"):
             img = cv2.imread(path)
         if img is None:
             log.warning("cannot read %s, skipping", path)
             continue
-        with stats.stage("detect"):
-            d = det.detect(img, size=args.reso, conf=args.confidence,
-                           iou=args.nms_thresh, max_det=args.max_det)
-        with stats.stage("draw+write"):
-            draw_detections(img, d.boxes, d.cls_id, d.obj, det.class_names)
-            out_path = os.path.join(args.det, "det_" + os.path.basename(path))
-            cv2.imwrite(out_path, img)
-        stats.count()
-        names = [det.class_names[c] for c in d.cls_id]
-        log.info("%s: %d objects %s -> %s", path, len(d), sorted(set(names)), out_path)
+        groups.setdefault(img.shape, []).append((path, img))
+
+    for shape, items in groups.items():
+        for start in range(0, len(items), args.batch):
+            chunk = items[start : start + args.batch]
+            batch = np.stack([im for _, im in chunk])
+            with stats.stage("detect"):
+                dets = det.detect_batch(batch, size=args.reso, conf=args.confidence,
+                                        iou=args.nms_thresh, max_det=args.max_det)
+            with stats.stage("draw+write"):
+                for (path, img), d in zip(chunk, dets):
+                    draw_detections(img, d.boxes, d.cls_id, d.obj, det.class_names)
+                    out_path = os.path.join(args.det, "det_" + os.path.basename(path))
+                    cv2.imwrite(out_path, img)
+                    names = [det.class_names[c] for c in d.cls_id]
+                    log.info("%s: %d objects %s -> %s", path, len(d),
+                             sorted(set(names)), out_path)
+            stats.count(len(chunk))
     print(stats.report(), file=sys.stderr)
     return 0
 
@@ -167,6 +185,8 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--images", required=True, help="image file or directory")
     p.add_argument("--det", default="det", help="output directory")
+    p.add_argument("--batch", type=int, default=8,
+                   help="max images per device batch (grouped by shape)")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("video", help="video file / webcam detection")

@@ -143,8 +143,63 @@ def fold_batchnorm(spec: ModelSpec, raw: RawParams) -> Params:
     return params
 
 
-def load_weights(spec: ModelSpec, path: str, fold_bn: bool = True) -> Params:
-    """One call: .weights file -> inference-ready params pytree (HWIO, BN folded)."""
+def load_weights_native(spec: ModelSpec, path: str, n_threads: int = 0) -> Params | None:
+    """Folded params via the C++ loader (mmap + fused fold/transpose).
+
+    Returns None when the native library is unavailable (no compiler etc.);
+    raises WeightsError for malformed files.  Output is bit-identical to
+    ``fold_batchnorm(read_weights_file(...))`` up to fp32 rounding of the
+    fold arithmetic (pinned by tests/test_native.py)."""
+    import ctypes
+
+    from .native import LayerDescStruct, load_library
+
+    lib = load_library()
+    if lib is None:
+        return None
+
+    convs = _conv_specs(spec)
+    params: Params = {}
+    descs = (LayerDescStruct * len(convs))()
+    offset = 0
+    for i, c in enumerate(convs):
+        w = np.empty((c.size, c.size, c.in_channels, c.filters), dtype=np.float32)
+        b = np.empty((c.filters,), dtype=np.float32)
+        params[c.index] = {"w": w, "b": b}
+        descs[i].filters = c.filters
+        descs[i].in_channels = c.in_channels
+        descs[i].size = c.size
+        descs[i].batch_normalize = int(c.batch_normalize)
+        descs[i].stream_offset = offset
+        descs[i].out_w = w.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        descs[i].out_b = b.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        offset += (4 if c.batch_normalize else 1) * c.filters
+        offset += c.filters * c.in_channels * c.size * c.size
+
+    rc = lib.pyt_load_weights(path.encode(), descs, len(convs), offset, n_threads)
+    if rc != 0:
+        raise WeightsError(
+            f"native loader: {lib.pyt_strerror(rc).decode()} ({path})")
+    return params
+
+
+def load_weights(spec: ModelSpec, path: str, fold_bn: bool = True,
+                 native: bool | None = None) -> Params:
+    """One call: .weights file -> inference-ready params pytree (HWIO, BN folded).
+
+    ``native=None`` tries the C++ fast path for the folded case and falls
+    back to numpy; True requires it; False skips it."""
+    if fold_bn and native is not False:
+        try:
+            params = load_weights_native(spec, path)
+        except WeightsError:
+            raise
+        except Exception:
+            params = None
+        if params is not None:
+            return params
+        if native:
+            raise RuntimeError("native weights loader unavailable")
     raw = read_weights_file(spec, path)
     return fold_batchnorm(spec, raw) if fold_bn else raw
 
