@@ -72,6 +72,41 @@ def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def leader_election_suppress(
+    iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float
+) -> jnp.ndarray:
+    """Greedy NMS via leader election — identical keep-set to
+    :func:`greedy_suppress`, but the loop runs once per *kept* box (early-
+    exiting ``while_loop``) instead of once per candidate.
+
+    Each round keeps the highest-ranked undecided candidate (nothing ranked
+    above it can still suppress it — that is exactly the next greedy keep)
+    and eliminates every candidate it overlaps.  Candidates must be sorted
+    by descending score, which both callers guarantee (``lax.top_k``
+    output); strict ordering uses the position index."""
+    k = iou.shape[0]
+    over = jnp.where(iou > iou_thresh, 1.0, 0.0)
+    pos_rank = jnp.arange(k, 0, -1, dtype=jnp.float32)
+    rank = jnp.where(valid, pos_rank, 0.0)
+
+    def cond(carry):
+        _, undecided = carry
+        return jnp.max(jnp.where(undecided > 0, rank, 0.0)) > 0.0
+
+    def body(carry):
+        keep, undecided = carry
+        sel = jnp.where(undecided > 0, rank, 0.0)
+        m = jnp.max(sel)
+        lead = jnp.where(sel >= m, 1.0, 0.0) * undecided
+        ov = lead @ over  # leader's overlap row
+        return keep + lead, undecided * (1.0 - jnp.minimum(ov, 1.0)) * (1.0 - lead)
+
+    keep, _ = lax.while_loop(
+        cond, body,
+        (jnp.zeros((k,), jnp.float32), jnp.where(valid, 1.0, 0.0)))
+    return keep > 0.5
+
+
 def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
     """Sequential greedy NMS over score-sorted candidates.
 
@@ -167,7 +202,7 @@ def batched_nms_fused(
         keep = nms_keep_pallas(shifted, valid, iou_thresh)
     else:
         keep = jax.vmap(
-            lambda b, v: greedy_suppress(iou_matrix(b), v, iou_thresh)
+            lambda b, v: leader_election_suppress(iou_matrix(b), v, iou_thresh)
         )(shifted, valid)
     return NMSResult(boxes=boxes, obj=sel[..., 4], cls_score=sel[..., 5],
                      cls_id=cls_id, valid=keep)
