@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import contextlib
+import json
 import logging
 import os
 import sys
@@ -168,6 +169,46 @@ def cmd_video(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """COCO mAP evaluation: the BASELINE.json:2 accuracy metric."""
+    import cv2
+
+    from .datasets import load_coco
+    from .eval import ImageEval, evaluate, evaluate_coco
+
+    det = _build_detector(args)
+    evals = []
+    stats = PipelineStats()
+    stats.start()
+    n_skipped = 0
+    for sample in load_coco(args.annotations, args.images, max_images=args.max_images):
+        img = cv2.imread(sample.path)
+        if img is None:
+            n_skipped += 1
+            continue
+        with stats.stage("detect"):
+            d = det.detect(img, size=args.reso, conf=args.confidence,
+                           iou=args.nms_thresh, max_det=args.max_det)
+        score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
+        evals.append(ImageEval(
+            det_boxes=d.boxes, det_scores=score, det_classes=d.cls_id,
+            gt_boxes=sample.gt_boxes, gt_classes=sample.gt_classes))
+        stats.count()
+    if n_skipped:
+        log.warning("skipped %d unreadable images", n_skipped)
+    r50 = evaluate(evals, iou_thresh=0.5)
+    coco = evaluate_coco(evals)
+    print(json.dumps({
+        "images": len(evals),
+        "mAP@0.5": round(r50["mAP"], 4),
+        "AP@[.5:.95]": round(coco["AP"], 4),
+        "AP75": round(coco["AP75"], 4),
+        "images_per_sec": round(stats.throughput(), 2),
+    }))
+    print(stats.report(), file=sys.stderr)
+    return 0
+
+
 def cmd_export_cfg(args) -> int:
     from .models.zoo import write_cfg
 
@@ -197,6 +238,15 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=float, default=30.0, help="output video fps")
     p.add_argument("--frames", type=int, default=None, help="stop after N frames")
     p.set_defaults(fn=cmd_video)
+
+    p = sub.add_parser("evaluate", help="COCO mAP evaluation")
+    _add_common(p)
+    p.add_argument("--images", required=True, help="COCO images directory")
+    p.add_argument("--annotations", required=True, help="instances_*.json path")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--score", default="obj", choices=("obj", "obj*cls"),
+                   help="detection score used for PR ranking")
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("export-cfg", help="emit a zoo model as a Darknet .cfg")
     p.add_argument("--model", required=True)

@@ -1,0 +1,82 @@
+"""COCO-format dataset loader + end-to-end evaluate CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pytorch_yolo_tpu.datasets import category_id_map, load_coco
+
+
+@pytest.fixture()
+def mini_coco(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(2):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8))
+        images.append({"id": 100 + i, "file_name": name, "width": 320, "height": 240})
+    annotations = [
+        {"id": 1, "image_id": 100, "category_id": 3, "bbox": [10, 20, 50, 60], "iscrowd": 0},
+        {"id": 2, "image_id": 100, "category_id": 18, "bbox": [100, 50, 40, 40], "iscrowd": 0},
+        {"id": 3, "image_id": 101, "category_id": 3, "bbox": [5, 5, 30, 30], "iscrowd": 1},
+    ]
+    categories = [{"id": 1, "name": "person"}, {"id": 3, "name": "car"},
+                  {"id": 18, "name": "dog"}]
+    ann_path = tmp_path / "instances.json"
+    ann_path.write_text(json.dumps({
+        "images": images, "annotations": annotations, "categories": categories}))
+    return str(ann_path), str(img_dir)
+
+
+def test_category_id_map():
+    cats = [{"id": 1}, {"id": 3}, {"id": 90}]
+    assert category_id_map(cats) == {1: 0, 3: 1, 90: 2}
+
+
+def test_load_coco(mini_coco):
+    ann, imgs = mini_coco
+    samples = list(load_coco(ann, imgs))
+    assert len(samples) == 2
+    s0 = samples[0]
+    assert s0.image_id == 100 and s0.gt_boxes.shape == (2, 4)
+    np.testing.assert_allclose(s0.gt_boxes[0], [10, 20, 60, 80])  # xywh->xyxy
+    assert s0.gt_classes.tolist() == [1, 2]  # dense ids for cats 3, 18
+    # crowd annotation skipped
+    assert samples[1].gt_boxes.shape == (0, 4)
+    crowd = list(load_coco(ann, imgs, skip_crowd=False))
+    assert crowd[1].gt_boxes.shape == (1, 4)
+
+
+def test_load_coco_max_images(mini_coco):
+    ann, imgs = mini_coco
+    assert len(list(load_coco(ann, imgs, max_images=1))) == 1
+
+
+def test_evaluate_cli(mini_coco, tmp_path, capsys):
+    ann, imgs = mini_coco
+    from pytorch_yolo_tpu.cli import main
+    from pytorch_yolo_tpu.models.zoo import model_spec, write_cfg
+    from pytorch_yolo_tpu.weights import random_raw_params, write_weights_file
+
+    cfg = str(tmp_path / "tiny.cfg")
+    weights = str(tmp_path / "tiny.weights")
+    write_cfg("yolov3-tiny", cfg)
+    spec = model_spec("yolov3-tiny")
+    write_weights_file(spec, random_raw_params(spec, seed=2), weights)
+
+    rc = main(["evaluate", "--images", imgs, "--annotations", ann,
+               "--cfg", cfg, "--weights", weights, "--reso", "320",
+               "--confidence", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert metrics["images"] == 2
+    assert 0.0 <= metrics["mAP@0.5"] <= 1.0
+    assert "AP@[.5:.95]" in metrics
