@@ -266,6 +266,44 @@ class Detector:
             ))
         return out
 
+    def detect_stream(
+        self,
+        images,
+        size: int = 416,
+        conf: float = 0.5,
+        iou: float = 0.4,
+        max_det: int = 300,
+        bgr: bool = True,
+        depth: int = 2,
+    ):
+        """Pipelined detection over an iterable of (H, W, 3) uint8 images.
+
+        Keeps ``depth`` device batches in flight so host-side work (decode,
+        drawing, bookkeeping) of item t+1 overlaps device compute of item t —
+        the same double-buffering the video loop uses (SURVEY.md §3.4's
+        serial-loop fix), generalized to any image source.  Yields
+        :class:`Detection` in input order."""
+        import collections
+
+        inflight: collections.deque = collections.deque()
+
+        def dispatch(img: np.ndarray):
+            inflight.append(self.raw_result(
+                img[None], size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
+
+        it = iter(images)
+        try:
+            for _ in range(depth):
+                dispatch(next(it))
+        except StopIteration:
+            pass
+        for img in it:
+            res = inflight.popleft()
+            dispatch(img)
+            yield self._trim(res, 1)[0]
+        while inflight:
+            yield self._trim(inflight.popleft(), 1)[0]
+
     # ------------------------------------------------------------------
 
     def warmup(self, shapes: Sequence[tuple[int, int]], sizes: Sequence[int] = (416,),

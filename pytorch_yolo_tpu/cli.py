@@ -180,22 +180,31 @@ def cmd_evaluate(args) -> int:
     evals = []
     stats = PipelineStats()
     stats.start()
-    n_skipped = 0
-    for sample in load_coco(args.annotations, args.images, max_images=args.max_images):
-        img = cv2.imread(sample.path)
-        if img is None:
-            n_skipped += 1
-            continue
-        with stats.stage("detect"):
-            d = det.detect(img, size=args.reso, conf=args.confidence,
-                           iou=args.nms_thresh, max_det=args.max_det)
+    skipped: list[str] = []
+    kept_samples: list = []
+
+    def image_gen():
+        for sample in load_coco(args.annotations, args.images,
+                                max_images=args.max_images):
+            img = cv2.imread(sample.path)
+            if img is None:
+                skipped.append(sample.path)
+                continue
+            kept_samples.append(sample)
+            yield img
+
+    # detect_stream overlaps cv2 decode of image t+1 with device compute of t
+    for i, d in enumerate(det.detect_stream(
+            image_gen(), size=args.reso, conf=args.confidence,
+            iou=args.nms_thresh, max_det=args.max_det)):
+        sample = kept_samples[i]
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
         evals.append(ImageEval(
             det_boxes=d.boxes, det_scores=score, det_classes=d.cls_id,
             gt_boxes=sample.gt_boxes, gt_classes=sample.gt_classes))
         stats.count()
-    if n_skipped:
-        log.warning("skipped %d unreadable images", n_skipped)
+    if skipped:
+        log.warning("skipped %d unreadable images", len(skipped))
     r50 = evaluate(evals, iou_thresh=0.5)
     coco = evaluate_coco(evals)
     print(json.dumps({
