@@ -24,7 +24,6 @@ to boxes lives in ``ops/decode.py`` so it can be fused with filtering.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Sequence
 
 import jax

@@ -22,7 +22,6 @@ Two implementations:
 
 from __future__ import annotations
 
-import functools
 
 import jax.numpy as jnp
 from jax import lax
