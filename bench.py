@@ -24,6 +24,22 @@ import time
 
 import numpy as np
 
+
+def _honor_jax_platforms_env() -> None:
+    """Re-assert the JAX_PLATFORMS env var over the container sitecustomize,
+    which force-registers the TPU plugin by setting jax.config directly."""
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized
+
+
+_honor_jax_platforms_env()
+
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 
 
