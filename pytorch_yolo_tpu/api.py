@@ -82,12 +82,14 @@ class Detector:
         precision: str = "highest",
         cfg_text: str | None = None,
         use_pallas: bool | None = None,
+        interp: str = "linear",
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
         self.class_names = tuple(class_names) if class_names else load_classes()
         self.score_mode = score_mode
         self.use_pallas = use_pallas
+        self.interp = interp
         self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
         self.mesh = mesh
         if mesh is not None:
@@ -111,6 +113,7 @@ class Detector:
         mesh=None,
         compute_dtype=jnp.float32,
         precision: str = "highest",
+        interp: str = "linear",
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -131,7 +134,7 @@ class Detector:
             params = fold_batchnorm(spec, random_raw_params(spec))
         return cls(spec, params, class_names=load_classes(names),
                    mesh=mesh, compute_dtype=compute_dtype, precision=precision,
-                   cfg_text=cfg_text)
+                   cfg_text=cfg_text, interp=interp)
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads
@@ -161,9 +164,10 @@ class Detector:
         score_mode = self.score_mode
 
         use_pallas = self.use_pallas
+        interp = self.interp
 
         def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
-            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr)
+            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr, method=interp)
             heads = forward(params, x)
             rows = decode_score_all(heads, spec, key.size,
                                     score_mode=score_mode, use_pallas=use_pallas)
@@ -222,6 +226,14 @@ class Detector:
         On a mesh, the batch is padded to a multiple of the mesh size and
         sharded over chips; results gather over ICI."""
         images = np.ascontiguousarray(images)
+        if images.ndim != 4:
+            raise ValueError(f"expected (N, H, W, C) uint8 batch, got {images.shape}")
+        if images.shape[-1] == 1:  # grayscale -> replicate channels
+            images = np.repeat(images, 3, axis=-1)
+        elif images.shape[-1] == 4:  # BGRA/RGBA -> drop alpha
+            images = np.ascontiguousarray(images[..., :3])
+        elif images.shape[-1] != 3:
+            raise ValueError(f"expected 1/3/4 channels, got {images.shape[-1]}")
         n = images.shape[0]
         run_n = n
         if self.mesh is not None:

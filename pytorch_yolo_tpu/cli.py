@@ -49,6 +49,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--interp", default="linear", choices=("linear", "cubic"),
+                   help="letterbox resize interpolation")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN checking (debug mode, SURVEY.md §5.2)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -64,9 +66,9 @@ def _build_detector(args) -> Detector:
     source = args.cfg or args.model
     if source is None:
         raise SystemExit("one of --model / --cfg is required")
-    kw = {}
+    kw = {"interp": getattr(args, "interp", "linear")}
     if args.bf16:
-        kw = dict(compute_dtype=jnp.bfloat16, precision="default")
+        kw.update(compute_dtype=jnp.bfloat16, precision="default")
     det = Detector.load(source, args.weights, names=args.names, **kw)
     if args.weights is None:
         log.warning("no --weights given: using synthetic random weights")

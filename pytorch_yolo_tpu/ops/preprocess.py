@@ -60,35 +60,44 @@ def letterbox_geometry(orig_h: int, orig_w: int, size: int) -> LetterboxGeometry
     )
 
 
-@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill"))
+@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill", "method"))
 def letterbox_image(
     img: jnp.ndarray,
     size: int,
     bgr: bool = True,
     fill: float = 128.0,
+    method: str = "linear",
 ) -> jnp.ndarray:
     """Letterbox one (H0, W0, 3) uint8 image to (S, S, 3) float32 in [0,1].
 
-    ``bgr=True`` flips the channel order (OpenCV decode convention)."""
+    ``bgr=True`` flips the channel order (OpenCV decode convention).
+    ``method``: "linear" (default) or "cubic" (Keys bicubic) — the reference
+    family uses either cv2.INTER_LINEAR or INTER_CUBIC depending on the repo;
+    both are exposed so parity can be pinned during re-verification
+    (SURVEY.md §7 hard parts)."""
     h0, w0 = img.shape[0], img.shape[1]
     geo = letterbox_geometry(h0, w0, size)
 
     x = img.astype(jnp.float32)
     if bgr:
         x = x[..., ::-1]
-    resized = jax.image.resize(x, (geo.new_h, geo.new_w, 3), method="linear", antialias=False)
+    resized = jax.image.resize(x, (geo.new_h, geo.new_w, 3), method=method, antialias=False)
+    if method == "cubic":
+        # bicubic overshoots; the uint8 reference clamps implicitly
+        resized = jnp.clip(resized, 0.0, 255.0)
     canvas = jnp.full((size, size, 3), fill, dtype=jnp.float32)
     canvas = lax.dynamic_update_slice(canvas, resized, (geo.pad_y, geo.pad_x, 0))
     return canvas / 255.0
 
 
-@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill"))
+@functools.partial(jax.jit, static_argnames=("size", "bgr", "fill", "method"))
 def letterbox_batch(
     imgs: jnp.ndarray,
     size: int,
     bgr: bool = True,
     fill: float = 128.0,
+    method: str = "linear",
 ) -> jnp.ndarray:
     """Letterbox a uniform batch (N, H0, W0, 3) uint8 -> (N, S, S, 3) f32."""
-    fn = functools.partial(letterbox_image, size=size, bgr=bgr, fill=fill)
+    fn = functools.partial(letterbox_image, size=size, bgr=bgr, fill=fill, method=method)
     return jax.vmap(fn)(imgs)

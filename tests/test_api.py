@@ -132,3 +132,30 @@ def test_pipeline_cache_reuse(tiny_detector):
     n_before = len(tiny_detector._pipelines)
     tiny_detector.detect(_image(6), conf=0.3)  # same shape/params -> cached
     assert len(tiny_detector._pipelines) == n_before
+
+
+def test_grayscale_and_bgra_inputs(tiny_detector):
+    gray = _image(11)[..., :1]
+    d = tiny_detector.detect(gray, size=320, conf=0.5)
+    assert d.boxes.shape[1] == 4
+    bgra = np.concatenate([_image(12), np.full((480, 640, 1), 255, np.uint8)], axis=-1)
+    d2 = tiny_detector.detect(bgra, size=320, conf=0.5)
+    # alpha dropped: identical to the 3-channel detect
+    d3 = tiny_detector.detect(_image(12), size=320, conf=0.5)
+    assert len(d2) == len(d3)
+    np.testing.assert_allclose(d2.boxes, d3.boxes)
+
+
+def test_bad_channel_count_rejected(tiny_detector):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="channels"):
+        tiny_detector.detect(np.zeros((32, 32, 2), np.uint8), size=320)
+
+
+def test_cubic_interp_detector():
+    import pytorch_yolo_tpu as _pyt
+
+    det = _pyt.Detector.load("yolov3-tiny", interp="cubic")
+    r = det.detect(_image(13), size=320, conf=0.9)
+    assert r.boxes.shape[1] == 4

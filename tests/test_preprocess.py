@@ -77,3 +77,18 @@ def test_unletterbox_clamps():
     out = np.asarray(unletterbox_boxes(wild, geo))
     assert out[0, 0] >= 0 and out[0, 1] >= 0
     assert out[0, 2] <= 640 and out[0, 3] <= 480
+
+
+def test_letterbox_cubic_runs(rng):
+    img = rng.integers(0, 256, size=(123, 210, 3), dtype=np.uint8)
+    out = np.asarray(letterbox_image(jnp.asarray(img), size=416, method="cubic"))
+    assert out.shape == (416, 416, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0  # clamped
+
+
+def test_letterbox_method_changes_pixels(rng):
+    img = rng.integers(0, 256, size=(123, 210, 3), dtype=np.uint8)
+    lin = np.asarray(letterbox_image(jnp.asarray(img), size=416, method="linear"))
+    cub = np.asarray(letterbox_image(jnp.asarray(img), size=416, method="cubic"))
+    assert np.abs(lin - cub).max() > 1e-4
