@@ -133,7 +133,18 @@ def main() -> None:
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--precision", default="highest")
     ap.add_argument("--skip-cpu-baseline", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also log a dtype/batch sweep table to stderr")
     args = ap.parse_args()
+
+    if args.sweep:
+        for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
+            for batch in (8, 16, 32):
+                try:
+                    measure_tpu(args.model, args.size, batch, args.iters,
+                                args.warmup, dtype, prec)
+                except Exception as e:  # keep sweeping; headline run follows
+                    log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
 
     ips = measure_tpu(args.model, args.size, args.batch, args.iters, args.warmup,
                       args.dtype, args.precision)

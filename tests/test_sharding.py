@@ -83,3 +83,13 @@ def test_jitted_pipeline_output_is_batch_sharded(mesh):
     assert res.boxes.shape[0] == 8
     # result stays distributed across all 8 devices until host trim
     assert len(res.boxes.sharding.device_set) == 8
+
+
+def test_submesh_of_four():
+    """Detector on a 4-device submesh (mesh size independent of world size)."""
+    devs = jax.devices()[:4]
+    mesh4 = make_batch_mesh(devs)
+    det = pyt.Detector.load("yolov3-tiny", mesh=mesh4)
+    imgs = np.random.default_rng(2).integers(0, 256, size=(6, 256, 256, 3), dtype=np.uint8)
+    res = det.detect_batch(imgs, size=256, conf=0.5)  # pads 6 -> 8
+    assert len(res) == 6
