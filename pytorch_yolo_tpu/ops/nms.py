@@ -37,9 +37,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Boxes live in net-input pixel coords (<= 608 + margin); one class stride
-# cleanly separates classes in corner space.
-CLASS_OFFSET = 4096.0
+# Class-wise suppression is done by masking the IoU matrix with a
+# class-equality mask (iou := iou * [cls_i == cls_j]) rather than the
+# family-common "offset coordinates by cls*BIG" trick: the offset breaks when
+# decoded boxes exceed the stride (exp(tw) overflow on garbage inputs) and
+# costs fp32 precision at large offsets.  The mask is exact for any box.
 
 
 class NMSResult(NamedTuple):
@@ -154,11 +156,10 @@ def _nms_single(
     # center/size -> corners (reference write_results conversion)
     cx, cy, w, h = sel[:, 0], sel[:, 1], sel[:, 2], sel[:, 3]
     boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
-    if class_agnostic:
-        shifted = boxes
-    else:
-        shifted = boxes + (cls_id.astype(jnp.float32) * CLASS_OFFSET)[:, None]
-    keep = greedy_suppress(iou_matrix(shifted), valid, iou_thresh)
+    iou = iou_matrix(boxes)
+    if not class_agnostic:
+        iou = iou * (cls_id[:, None] == cls_id[None, :])
+    keep = greedy_suppress(iou, valid, iou_thresh)
     return NMSResult(boxes=boxes, obj=obj, cls_score=cls_score, cls_id=cls_id, valid=keep)
 
 
@@ -188,22 +189,24 @@ def batched_nms_fused(
     valid = top_rank > 0.0
 
     boxes = sel[..., 0:4]
-    cls_id = sel[..., 6].astype(jnp.int32)
-    if class_agnostic:
-        shifted = boxes
-    else:
-        shifted = boxes + (sel[..., 6] * CLASS_OFFSET)[..., None]
+    cls_f = sel[..., 6]
+    cls_id = cls_f.astype(jnp.int32)
 
     from .pallas_kernels import nms_keep_pallas, _on_tpu
 
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        keep = nms_keep_pallas(shifted, valid, iou_thresh)
+        keep = nms_keep_pallas(boxes, valid, iou_thresh,
+                               cls_id=None if class_agnostic else cls_f)
     else:
-        keep = jax.vmap(
-            lambda b, v: leader_election_suppress(iou_matrix(b), v, iou_thresh)
-        )(shifted, valid)
+        def suppress(b, v, c):
+            iou = iou_matrix(b)
+            if not class_agnostic:
+                iou = iou * (jnp.abs(c[:, None] - c[None, :]) < 0.5)
+            return leader_election_suppress(iou, v, iou_thresh)
+
+        keep = jax.vmap(suppress)(boxes, valid, cls_f)
     return NMSResult(boxes=boxes, obj=sel[..., 4], cls_score=sel[..., 5],
                      cls_id=cls_id, valid=keep)
 

@@ -194,8 +194,8 @@ def decode_score_all(
 # ===========================================================================
 
 
-def _nms_kernel(boxes_ref, rank_ref, keep_ref, over_scratch, *,
-                k: int, iou_thresh: float):
+def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch, *,
+                k: int, iou_thresh: float, class_wise: bool):
     """Greedy suppression over K score-sorted candidates, all in VMEM.
 
     Leader election with a bounded fori_loop: each round keeps the highest-
@@ -207,9 +207,11 @@ def _nms_kernel(boxes_ref, rank_ref, keep_ref, over_scratch, *,
     would exit early, but Mosaic while lowering hangs on this toolchain —
     measured, not assumed.)
 
-    boxes_ref:  (1, K, 4) corner boxes (already class-offset if class-wise)
+    boxes_ref:  (1, K, 4) corner boxes
     rank_ref:   (1, K, 1) f32 strictly-decreasing positive ranks; <= 0 marks
                 invalid (conf-filtered / padding) rows
+    cls_ref:    (1, K, 1) f32 class ids (suppression masked to equal classes
+                when ``class_wise``)
     keep_ref:   (1, K, 1) f32 out
     over_scratch: (K, K) f32 binarized overlap matrix
     """
@@ -223,7 +225,11 @@ def _nms_kernel(boxes_ref, rank_ref, keep_ref, over_scratch, *,
     inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
     union = area + area.T - inter
     iou = jnp.where(union > 0, inter / union, 0.0)
-    over_scratch[:] = jnp.where(iou > iou_thresh, 1.0, 0.0)
+    over = jnp.where(iou > iou_thresh, 1.0, 0.0)
+    if class_wise:
+        cls = cls_ref[0, :, 0].reshape(k, 1)
+        over = over * jnp.where(jnp.abs(cls - cls.T) < 0.5, 1.0, 0.0)
+    over_scratch[:] = over
 
     rank_row = rank_ref[0, :, 0].reshape(1, k)
 
@@ -249,13 +255,16 @@ def nms_keep_pallas(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float,
+    cls_id: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Batched greedy NMS keep mask.
 
-    boxes: (N, K, 4) score-sorted corner boxes (class-offset applied);
-    valid: (N, K) bool.  Returns (N, K) bool keep mask — the same keep-set
-    as :func:`pytorch_yolo_tpu.ops.nms.greedy_suppress`.
+    boxes: (N, K, 4) score-sorted corner boxes; valid: (N, K) bool;
+    cls_id: optional (N, K) f32 class ids — when given, suppression is
+    class-wise (only equal classes suppress each other).  Returns (N, K)
+    bool keep mask — the same keep-set as
+    :func:`pytorch_yolo_tpu.ops.nms.greedy_suppress` on the class-masked IoU.
 
     Candidates must already be sorted by descending score (they are: both
     callers feed ``lax.top_k`` output), so the kernel's strict ranking is
@@ -264,25 +273,30 @@ def nms_keep_pallas(
 
     n, k, _ = boxes.shape
     kp = _round_up(k, _LANES)
+    class_wise = cls_id is not None
+    cls = cls_id.astype(jnp.float32) if class_wise else jnp.zeros(valid.shape, jnp.float32)
     if kp != k:
         boxes = jnp.pad(boxes, ((0, 0), (0, kp - k), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, kp - k)))
+        cls = jnp.pad(cls, ((0, 0), (0, kp - k)))
 
     pos_rank = jnp.asarray(
         np.arange(kp, 0, -1, dtype=np.float32).reshape(1, kp, 1))
     rank = jnp.where(valid[..., None], pos_rank, 0.0)
 
-    kernel = functools.partial(_nms_kernel, k=kp, iou_thresh=iou_thresh)
+    kernel = functools.partial(_nms_kernel, k=kp, iou_thresh=iou_thresh,
+                               class_wise=class_wise)
     keep = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, kp, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, kp, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((kp, kp), jnp.float32)],
         interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(boxes, rank)
+    )(boxes, rank, cls[..., None])
     return keep[:, :k, 0] > 0.5
