@@ -9,11 +9,14 @@ drawing, and timing run for real).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import cv2
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo checkout
 import pytorch_yolo_tpu as pyt
 from pytorch_yolo_tpu.utils.draw import draw_detections
 
