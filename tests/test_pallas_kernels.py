@@ -86,3 +86,23 @@ def test_fused_nms_path_matches_plain(seed, conf, iou):
     b = _sorted_rows(_result_rows(fused))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_decode_score_class_tie_breaks_to_first():
+    """Equal class logits: both paths must pick the lowest class index."""
+    g, stride, classes = 4, 32, 6
+    raw = np.zeros((1, g, g, 3 * (5 + classes)), dtype=np.float32)
+    # all class logits equal (0.0) -> argmax == 0 everywhere
+    ours = np.asarray(decode_score_head(jnp.asarray(raw), ANCHORS, stride, classes))
+    ref = np.asarray(decode_score_head_ref(jnp.asarray(raw), ANCHORS, stride, classes))
+    assert (ours[..., 6] == 0).all()
+    np.testing.assert_array_equal(ours[..., 6], ref[..., 6])
+    # two-way tie at a higher pair (set in every anchor's channel block)
+    for a in range(3):
+        base = a * (5 + classes)
+        raw[..., base + 5 + 2] = 3.0
+        raw[..., base + 5 + 4] = 3.0
+    ours = np.asarray(decode_score_head(jnp.asarray(raw), ANCHORS, stride, classes))
+    ref = np.asarray(decode_score_head_ref(jnp.asarray(raw), ANCHORS, stride, classes))
+    assert (ours[..., 6] == 2).all()
+    np.testing.assert_array_equal(ours[..., 6], ref[..., 6])
