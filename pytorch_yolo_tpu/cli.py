@@ -114,6 +114,8 @@ def cmd_detect(args) -> int:
             continue
         groups.setdefault(img.shape, []).append((path, img))
 
+    json_out = open(os.path.join(args.det, "detections.jsonl"), "w",
+                    encoding="utf-8") if args.save_json else None
     for shape, items in groups.items():
         for start in range(0, len(items), args.batch):
             chunk = items[start : start + args.batch]
@@ -123,6 +125,15 @@ def cmd_detect(args) -> int:
                                         iou=args.nms_thresh, max_det=args.max_det)
             with stats.stage("draw+write"):
                 for (path, img), d in zip(chunk, dets):
+                    if json_out is not None:
+                        json_out.write(json.dumps({
+                            "image": path,
+                            "boxes": d.boxes.round(2).tolist(),
+                            "obj": d.obj.round(4).tolist(),
+                            "cls_score": d.cls_score.round(4).tolist(),
+                            "cls_id": d.cls_id.tolist(),
+                            "names": [det.class_names[c] for c in d.cls_id],
+                        }) + "\n")
                     draw_detections(img, d.boxes, d.cls_id, d.obj, det.class_names)
                     out_path = os.path.join(args.det, "det_" + os.path.basename(path))
                     cv2.imwrite(out_path, img)
@@ -130,6 +141,8 @@ def cmd_detect(args) -> int:
                     log.info("%s: %d objects %s -> %s", path, len(d),
                              sorted(set(names)), out_path)
             stats.count(len(chunk))
+    if json_out is not None:
+        json_out.close()
     print(stats.report(), file=sys.stderr)
     return 0
 
@@ -239,6 +252,8 @@ def main(argv=None) -> int:
     p.add_argument("--det", default="det", help="output directory")
     p.add_argument("--batch", type=int, default=8,
                    help="max images per device batch (grouped by shape)")
+    p.add_argument("--save-json", action="store_true",
+                   help="also write <det>/detections.jsonl")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("video", help="video file / webcam detection")

@@ -103,3 +103,17 @@ def test_video_results_ordered_and_match_single(assets, tmp_path):
         solo = det.detect(r.frame, size=320, conf=0.5)
         assert len(solo) == len(r.detection)
         np.testing.assert_allclose(solo.boxes, r.detection.boxes, rtol=1e-4, atol=1e-2)
+
+
+def test_detect_save_json(assets, tmp_path):
+    import json as _json
+
+    out = str(tmp_path / "detj")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--save-json"])
+    assert rc == 0
+    lines = open(os.path.join(out, "detections.jsonl")).read().splitlines()
+    assert len(lines) == 2
+    rec = _json.loads(lines[0])
+    assert {"image", "boxes", "obj", "cls_score", "cls_id", "names"} <= set(rec)
