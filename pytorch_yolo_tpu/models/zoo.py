@@ -73,7 +73,8 @@ def _yolo(mask: str, anchors: str, classes: int, num: int) -> list[str]:
     ]
 
 
-def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416,
+               spp: bool = False) -> str:
     """Full YOLOv3: Darknet-53 backbone + 3-scale FPN head.
 
     Structure per the YOLOv3 paper Table 1 / upstream cfg (SURVEY.md §3.3):
@@ -82,6 +83,11 @@ def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
     3x3/1x1-linear output at strides 32,16,8 with upsample+route fusion.
     Route targets (61 = end of 512-stage, 36 = end of 256-stage) fall out of
     the generation arithmetic rather than being hand-coded magic numbers.
+
+    ``spp=True`` inserts the spatial-pyramid-pooling block (stride-1
+    maxpools k=5/9/13 + 4-way concat) into the first head, matching the
+    upstream yolov3-spp variant — exercises only parser features the base
+    models already need (stride-1 maxpool, multi-way route).
     """
     filters_out = 3 * (5 + classes)
     lines = _net(width, height)
@@ -102,15 +108,25 @@ def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
     assert layer == 74, f"backbone should end at layer 74, got {layer}"
     assert stage_ends[256] == 36 and stage_ends[512] == 61  # upstream indices
 
-    def head(pre_ch: int, mask: str) -> None:
+    def head(pre_ch: int, mask: str, with_spp: bool = False) -> None:
         # 5-conv block: 1x1 pre, 3x3 2*pre alternating, then 3x3 + 1x1 linear out
-        for k in range(5):
+        for k in range(3 if with_spp else 5):
             emit(_conv(pre_ch, 1) if k % 2 == 0 else _conv(pre_ch * 2, 3), 1)
+        if with_spp:
+            # SPP: k5/k9/k13 stride-1 maxpools over the same tensor, 4-way concat
+            emit(["[maxpool]", "size=5", "stride=1", ""], 1)
+            emit(["[route]", "layers = -2", ""], 1)
+            emit(["[maxpool]", "size=9", "stride=1", ""], 1)
+            emit(["[route]", "layers = -4", ""], 1)
+            emit(["[maxpool]", "size=13", "stride=1", ""], 1)
+            emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)
+            for k in range(3):
+                emit(_conv(pre_ch, 1) if k % 2 == 0 else _conv(pre_ch * 2, 3), 1)
         emit(_conv(pre_ch * 2, 3), 1)
         emit(_conv(filters_out, 1, bn=False, activation="linear"), 1)
         emit(_yolo(mask, YOLOV3_ANCHORS, classes, 9), 1)
 
-    head(512, "6,7,8")  # stride 32, 13x13 @416
+    head(512, "6,7,8", with_spp=spp)  # stride 32, 13x13 @416
     emit([f"[route]", f"layers = -4", ""], 1)
     emit(_conv(256, 1), 1)
     emit(["[upsample]", "stride=2", ""], 1)
@@ -123,8 +139,14 @@ def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
     emit([f"[route]", f"layers = -1, {stage_ends[256]}", ""], 1)
 
     head(128, "0,1,2")  # stride 8, 52x52 @416
-    assert layer == 106, f"yolov3 should have 107 layers (0..106), got {layer}"
+    expect = 113 if spp else 106  # upstream layer counts
+    assert layer == expect, f"should end at layer {expect}, got {layer}"
     return "\n".join(lines)
+
+
+def yolov3_spp_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """YOLOv3-SPP: yolov3 with the spatial-pyramid-pooling first head."""
+    return yolov3_cfg(classes=classes, width=width, height=height, spp=True)
 
 
 def yolov3_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
@@ -158,6 +180,7 @@ def yolov3_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> s
 
 _GENERATORS = {
     "yolov3": yolov3_cfg,
+    "yolov3-spp": yolov3_spp_cfg,
     "yolov3-tiny": yolov3_tiny_cfg,
 }
 

@@ -149,3 +149,15 @@ def test_yolo_channel_validation():
     """
     with pytest.raises(ConfigError):
         build_spec(parse_cfg_text(bad))  # 16 != 1*(5+80)
+
+
+def test_spp_spec_structure():
+    spec = model_spec("yolov3-spp")
+    assert len(spec.layers) == 114
+    assert head_strides(spec) == (32, 16, 8)
+    assert spec.num_detections(416) == 10647
+    pools = [l for l in spec.layers if isinstance(l, MaxPoolSpec)]
+    assert [(p.size, p.stride) for p in pools] == [(5, 1), (9, 1), (13, 1)]
+    four_way = [l for l in spec.layers if isinstance(l, RouteSpec) and len(l.layers) == 4]
+    assert len(four_way) == 1
+    assert spec.out_channels[four_way[0].index] == 2048

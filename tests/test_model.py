@@ -87,3 +87,14 @@ def test_batched_forward_matches_single():
         hs = fwd(params, jnp.asarray(xb[i : i + 1]))
         for b, s in zip(hb, hs):
             np.testing.assert_allclose(np.asarray(b[i]), np.asarray(s[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_spp_forward_parity():
+    """SPP head (stride-1 k5/9/13 maxpools + 4-way concat) vs torch oracle."""
+    spec, heads_jax, heads_torch = _run_both("yolov3-spp", 256)
+    assert len(heads_jax) == 3
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        close = np.isclose(np.asarray(hj), ht_nhwc, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998
