@@ -117,3 +117,48 @@ def test_detect_save_json(assets, tmp_path):
     assert len(lines) == 2
     rec = _json.loads(lines[0])
     assert {"image", "boxes", "obj", "cls_score", "cls_id", "names"} <= set(rec)
+
+
+def test_video_tolerates_decoder_errors(assets, monkeypatch):
+    """Frames whose decode raises are skipped, not fatal (SURVEY.md §5.3)."""
+    import pytorch_yolo_tpu as pyt
+    from pytorch_yolo_tpu import video as video_mod
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8) for _ in range(6)]
+
+    class FlakyCap:
+        def __init__(self, src):
+            self.i = 0
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            i = self.i
+            self.i += 1
+            if i in (2, 4):
+                raise RuntimeError("decoder glitch")
+            if i >= 6:
+                return False, None
+            return True, frames[i]
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(video_mod, "cv2", None, raising=False)
+    import cv2 as real_cv2
+
+    class FakeCv2:
+        VideoCapture = FlakyCap
+
+    import sys as _sys
+    monkeypatch.setitem(_sys.modules, "cv2", FakeCv2)
+    try:
+        det = pyt.Detector.load(assets["cfg"], assets["weights"])
+        results = list(video_mod.run_video("x.mp4", det, size=320, conf=0.5))
+    finally:
+        monkeypatch.setitem(_sys.modules, "cv2", real_cv2)
+    # 6 reads, 2 raised -> 4 good frames
+    assert len(results) == 4
+    assert [r.index for r in results] == [0, 1, 3, 5]
