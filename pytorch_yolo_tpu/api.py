@@ -196,6 +196,14 @@ class Detector:
             self._pipelines[key] = fn
         return fn
 
+    def _resolve_size(self, size: int | None) -> int:
+        """Default to the cfg's [net] width, like the reference's detect()."""
+        if size is None:
+            size = self.spec.net.width
+        if size % 32:
+            raise ValueError(f"input size {size} must be a multiple of 32")
+        return size
+
     # ------------------------------------------------------------------
     # Detection entry points
     # ------------------------------------------------------------------
@@ -203,7 +211,7 @@ class Detector:
     def detect(
         self,
         image: np.ndarray,
-        size: int = 416,
+        size: int | None = None,
         conf: float = 0.5,
         iou: float = 0.4,
         max_det: int = 300,
@@ -215,7 +223,7 @@ class Detector:
     def detect_batch(
         self,
         images: np.ndarray,
-        size: int = 416,
+        size: int | None = None,
         conf: float = 0.5,
         iou: float = 0.4,
         max_det: int = 300,
@@ -234,6 +242,7 @@ class Detector:
             images = np.ascontiguousarray(images[..., :3])
         elif images.shape[-1] != 3:
             raise ValueError(f"expected 1/3/4 channels, got {images.shape[-1]}")
+        size = self._resolve_size(size)
         n = images.shape[0]
         run_n = n
         if self.mesh is not None:
@@ -254,9 +263,10 @@ class Detector:
         res: NMSResult = self._pipeline(key)(self.params, dev_imgs)
         return self._trim(res, n)
 
-    def raw_result(self, images: np.ndarray, size: int = 416, conf: float = 0.5,
+    def raw_result(self, images: np.ndarray, size: int | None = None, conf: float = 0.5,
                    iou: float = 0.4, max_det: int = 300, bgr: bool = True) -> NMSResult:
         """Device-resident fixed-shape result (no host trim) — for pipelining."""
+        size = self._resolve_size(size)
         key = _PipelineKey(
             batch=images.shape[0], orig_h=images.shape[1], orig_w=images.shape[2],
             size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr,
@@ -281,7 +291,7 @@ class Detector:
     def detect_stream(
         self,
         images,
-        size: int = 416,
+        size: int | None = None,
         conf: float = 0.5,
         iou: float = 0.4,
         max_det: int = 300,
@@ -333,7 +343,7 @@ def load(cfg: str, weights: str | None = None, **kw) -> Detector:
 
 
 def detect(model: Detector, image: np.ndarray, conf: float = 0.5, nms: float = 0.4,
-           size: int = 416, **kw) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+           size: int | None = None, **kw) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Reference-shaped free function: returns (boxes, scores, classes).
 
     ``scores`` follows the reference row meaning: the objectness column

@@ -159,3 +159,19 @@ def test_cubic_interp_detector():
     det = _pyt.Detector.load("yolov3-tiny", interp="cubic")
     r = det.detect(_image(13), size=320, conf=0.9)
     assert r.boxes.shape[1] == 4
+
+
+def test_size_defaults_to_net_width(tiny_detector):
+    """detect() without size uses the cfg [net] width (reference behavior)."""
+    img = _image(20, h=96, w=128)
+    d = tiny_detector.detect(img, conf=0.9)  # [net] width=416 in the fixture cfg
+    key = [k for k in tiny_detector._pipelines if k.orig_h == 96][0]
+    assert key.size == 416
+    assert d.boxes.shape[1] == 4
+
+
+def test_bad_size_rejected(tiny_detector):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        tiny_detector.detect(_image(21), size=300)
