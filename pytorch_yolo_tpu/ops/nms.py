@@ -8,13 +8,13 @@ that compiles on TPU.  The TPU-native design is fully static:
   1. score/class reduction over the (N, D, 5+C) decoded tensor;
   2. ``lax.top_k`` selects a fixed K candidates per image by masked score
      (invalid = -1, so they sort last);
-  3. center->corner conversion + the **class-offset trick**: each candidate's
-     coordinates are shifted by ``cls_id * OFFSET`` so boxes of different
-     classes can never overlap — one IoU pass performs class-wise NMS with no
-     per-class loop (SURVEY.md §7 hard parts);
-  4. greedy suppression as a K-step ``fori_loop`` over a precomputed
-     (K, K) IoU matrix — identical keep-set to the reference's sequential
-     greedy loop, but fixed-shape and jit-compiled.
+  3. center->corner conversion + a (K, K) IoU matrix **masked by class
+     equality** (iou := iou * [cls_i == cls_j]) — one pass performs
+     class-wise NMS with no per-class loop (SURVEY.md §7 hard parts);
+  4. greedy suppression with fixed shapes: either the sequential K-step
+     ``fori_loop`` (:func:`greedy_suppress`, the simple oracle) or
+     **leader election** (:func:`leader_election_suppress` / the Pallas
+     kernel) — provably the same keep-set, one round per *kept* box.
 
 Output is a fixed (N, K, 7) tensor [x1, y1, x2, y2, obj, cls_score, cls_id]
 (reference row format, SURVEY.md §1 L4) plus a validity mask; downstream code
