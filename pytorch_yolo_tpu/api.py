@@ -92,12 +92,23 @@ class Detector:
         self.interp = interp
         self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
         self.mesh = mesh
+
+        cdtype = jnp.dtype(compute_dtype)
+
+        def place(path_key, a):
+            # Pre-cast conv kernels to the compute dtype at load time: in bf16
+            # mode this halves weight HBM traffic and removes the per-step
+            # cast (biases stay fp32 — they are added post-accumulation).
+            arr = jnp.asarray(a)
+            if cdtype != jnp.float32 and path_key == "w":
+                arr = arr.astype(cdtype)
+            return arr
+
+        host = {k: {kk: place(kk, vv) for kk, vv in v.items()} for k, v in params.items()}
         if mesh is not None:
-            self.params = replicate_params(
-                jax.tree_util.tree_map(jnp.asarray, params), mesh
-            )
+            self.params = replicate_params(host, mesh)
         else:
-            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self.params = host
         self._pipelines: dict[_PipelineKey, object] = {}
 
     # ------------------------------------------------------------------
