@@ -123,6 +123,46 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     return ips
 
 
+def measure_multires(model: str, iters: int, dtype: str, precision: str) -> None:
+    """Steady-state img/s at 320/416/608 (BASELINE.json:10 shape buckets)."""
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector
+
+    det = Detector.load(model, compute_dtype=jnp.dtype(dtype), precision=precision)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(8, 480, 640, 3), dtype=np.uint8)
+    for size in (320, 416, 608):
+        np.asarray(det.raw_result(imgs, size=size, conf=0.6).boxes)  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = det.raw_result(imgs, size=size, conf=0.6)
+        np.asarray(res.boxes)
+        dt = time.perf_counter() - t0
+        log(f"multires {model}@{size}: {8 * iters / dt:.1f} img/s")
+
+
+def measure_stream(model: str, frames: int, dtype: str, precision: str) -> None:
+    """Pipelined per-frame (batch-1) throughput — the video loop shape
+    (BASELINE.json:11)."""
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector
+
+    det = Detector.load(model, compute_dtype=jnp.dtype(dtype), precision=precision)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+    # compile + warm
+    for _ in det.detect_stream(iter([frame, frame]), size=416, conf=0.6):
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for _ in det.detect_stream(iter([frame] * frames), size=416, conf=0.6):
+        n += 1
+    dt = time.perf_counter() - t0
+    log(f"stream {model}@416 batch=1 pipelined: {n / dt:.1f} FPS")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3")
@@ -145,6 +185,13 @@ def main() -> None:
                                 args.warmup, dtype, prec)
                 except Exception as e:  # keep sweeping; headline run follows
                     log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
+        for fn, fnargs in ((measure_multires, (args.model, max(args.iters // 3, 5))),
+                           (measure_stream, (args.model, 50))):
+            for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
+                try:
+                    fn(*fnargs, dtype, prec)
+                except Exception as e:
+                    log(f"{fn.__name__} {dtype} failed: {e}")
 
     ips = measure_tpu(args.model, args.size, args.batch, args.iters, args.warmup,
                       args.dtype, args.precision)
