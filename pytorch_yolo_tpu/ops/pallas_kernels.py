@@ -194,18 +194,18 @@ def decode_score_all(
 # ===========================================================================
 
 
-def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch, *,
+def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch,
+                keep_s, und_s, done_s, *,
                 k: int, iou_thresh: float, class_wise: bool):
     """Greedy suppression over K score-sorted candidates, all in VMEM.
 
-    Leader election with a bounded fori_loop: each round keeps the highest-
-    ranked undecided candidate (exactly the next greedy keep — nothing above
-    it can still suppress it) and eliminates everything it overlaps.  After
-    all candidates are decided the remaining rounds are no-ops; K rounds is
-    the worst case (zero overlaps), giving bit-exact greedy semantics with
-    far fewer *effective* rounds on real detections.  (A dynamic while_loop
-    would exit early, but Mosaic while lowering hangs on this toolchain —
-    measured, not assumed.)
+    Leader election: each round keeps the highest-ranked undecided candidate
+    (exactly the next greedy keep — nothing above it can still suppress it)
+    and eliminates everything it overlaps, so live rounds = number of *kept*
+    boxes.  The loop is a bounded fori (Mosaic while lowering hangs on this
+    toolchain — measured, not assumed) with a done flag: once every
+    candidate is decided the remaining rounds are predicated no-ops
+    (``pl.when``), skipping the matvec entirely.
 
     boxes_ref:  (1, K, 4) corner boxes
     rank_ref:   (1, K, 1) f32 strictly-decreasing positive ranks; <= 0 marks
@@ -214,6 +214,7 @@ def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch, *,
                 when ``class_wise``)
     keep_ref:   (1, K, 1) f32 out
     over_scratch: (K, K) f32 binarized overlap matrix
+    keep_s/und_s: (1, K) f32 VMEM state; done_s: (1,) i32 SMEM flag
     """
     b = boxes_ref[0]
     x1, y1, x2, y2 = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
@@ -232,23 +233,34 @@ def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch, *,
     over_scratch[:] = over
 
     rank_row = rank_ref[0, :, 0].reshape(1, k)
+    keep_s[:] = jnp.zeros((1, k), jnp.float32)
+    und_s[:] = jnp.where(rank_row > 0.0, 1.0, 0.0)
+    done_s[0] = 0
 
     def body(_, carry):
-        keep_row, undecided = carry
-        sel = jnp.where(undecided > 0.0, rank_row, -1.0)
-        m = jnp.max(sel)
-        live = m > 0.0
-        lead = jnp.where(jnp.logical_and(sel >= m, live), 1.0, 0.0) * undecided
-        keep_row = keep_row + lead
-        # leader's overlap row: one-hot matvec against the binarized matrix
-        ov = jnp.dot(lead, over_scratch[:], preferred_element_type=jnp.float32)
-        undecided = undecided * (1.0 - jnp.minimum(ov, 1.0)) * (1.0 - lead)
-        return keep_row, undecided
+        @pl.when(done_s[0] == 0)
+        def _():
+            undecided = und_s[:]
+            sel = jnp.where(undecided > 0.0, rank_row, -1.0)
+            m = jnp.max(sel)
 
-    undecided0 = jnp.where(rank_row > 0.0, 1.0, 0.0)
-    keep_row, _ = lax.fori_loop(
-        0, k, body, (jnp.zeros((1, k), jnp.float32), undecided0))
-    keep_ref[0] = keep_row.reshape(k, 1)
+            @pl.when(m <= 0.0)
+            def _():
+                done_s[0] = 1
+
+            @pl.when(m > 0.0)
+            def _():
+                lead = jnp.where(sel >= m, 1.0, 0.0) * undecided
+                keep_s[:] = keep_s[:] + lead
+                # leader's overlap row: one-hot matvec vs binarized matrix
+                ov = jnp.dot(lead, over_scratch[:],
+                             preferred_element_type=jnp.float32)
+                und_s[:] = undecided * (1.0 - jnp.minimum(ov, 1.0)) * (1.0 - lead)
+
+        return carry
+
+    lax.fori_loop(0, k, body, 0)
+    keep_ref[0] = keep_s[:].reshape(k, 1)
 
 
 def nms_keep_pallas(
@@ -296,7 +308,12 @@ def nms_keep_pallas(
         ],
         out_specs=pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, kp, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kp, kp), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((kp, kp), jnp.float32),
+            pltpu.VMEM((1, kp), jnp.float32),
+            pltpu.VMEM((1, kp), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
         interpret=(not _on_tpu()) if interpret is None else interpret,
     )(boxes, rank, cls[..., None])
     return keep[:, :k, 0] > 0.5
