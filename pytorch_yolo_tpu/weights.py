@@ -80,11 +80,13 @@ def read_weights_bytes(spec: ModelSpec, data: bytes) -> RawParams:
     major, minor, revision = np.frombuffer(data, dtype=np.int32, count=3)
     offset = 12
     if major * 10 + minor >= 2:
-        if len(data) < 20:
-            raise WeightsError("file shorter than v2 header")
         offset += 8  # uint64 seen
     else:
         offset += 4  # int32 seen
+    if len(data) < offset:
+        raise WeightsError(f"file shorter than v{major}.{minor} header")
+    if (len(data) - offset) % 4:
+        raise WeightsError("weight stream length is not a multiple of 4 bytes")
 
     flat = np.frombuffer(data, dtype=np.float32, offset=offset)
     expected = param_count(spec)

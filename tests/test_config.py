@@ -161,3 +161,22 @@ def test_spp_spec_structure():
     four_way = [l for l in spec.layers if isinstance(l, RouteSpec) and len(l.layers) == 4]
     assert len(four_way) == 1
     assert spec.out_channels[four_way[0].index] == 2048
+
+
+def test_parser_fuzz_no_crashes():
+    """Garbage cfg input must raise ConfigError (or parse), never crash."""
+    import random
+
+    rng = random.Random(0)
+    tokens = ["[net]", "[convolutional]", "[yolo]", "[route]", "[shortcut]",
+              "filters=8", "size=3", "stride=1", "pad=1", "activation=leaky",
+              "layers=-1", "from=-2", "mask=0", "anchors=1,2", "classes=80",
+              "width=32", "height=32", "###", "= =", "[", "]", "x=y=z", ""]
+    for trial in range(200):
+        text = "\n".join(rng.choice(tokens) for _ in range(rng.randint(1, 25)))
+        try:
+            build_spec(parse_cfg_text(text))
+        except ConfigError:
+            pass  # expected failure mode
+        except (ValueError, KeyError) as e:
+            raise AssertionError(f"trial {trial}: non-ConfigError {type(e).__name__}: {e}\n{text}")

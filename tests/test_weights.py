@@ -129,3 +129,13 @@ def test_load_weights_folds_by_default(tmp_path):
             assert set(params[layer.index]) == {"w", "b"}
             assert params[layer.index]["w"].shape == (
                 layer.size, layer.size, layer.in_channels, layer.filters)
+
+
+def test_weights_fuzz_random_bytes():
+    """Random byte blobs must raise WeightsError, never crash or misparse."""
+    spec = model_spec("yolov3-tiny")
+    rng = np.random.default_rng(0)
+    for n in (0, 4, 12, 20, 100, 4096):
+        blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        with pytest.raises(WeightsError):
+            read_weights_bytes(spec, blob)
