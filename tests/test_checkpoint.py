@@ -35,9 +35,11 @@ def test_checkpoint_version_guard(tmp_path):
     import json, os
 
     meta_path = os.path.join(ckpt, "meta.json")
-    meta = json.load(open(meta_path))
+    with open(meta_path) as f:
+        meta = json.load(f)
     meta["format_version"] = 999
-    json.dump(meta, open(meta_path, "w"))
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     with pytest.raises(ValueError, match="newer"):
         load_checkpoint(ckpt)
 

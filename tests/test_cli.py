@@ -113,7 +113,8 @@ def test_detect_save_json(assets, tmp_path):
                "--cfg", assets["cfg"], "--weights", assets["weights"],
                "--reso", "320", "--save-json"])
     assert rc == 0
-    lines = open(os.path.join(out, "detections.jsonl")).read().splitlines()
+    with open(os.path.join(out, "detections.jsonl")) as f:
+        lines = f.read().splitlines()
     assert len(lines) == 2
     rec = _json.loads(lines[0])
     assert {"image", "boxes", "obj", "cls_score", "cls_id", "names"} <= set(rec)

@@ -52,9 +52,11 @@ def test_load_weights_auto_native(tiny_file):
 
 def test_native_rejects_truncated(tiny_file, tmp_path):
     spec, _, path = tiny_file
-    data = open(path, "rb").read()
+    with open(path, "rb") as f:
+        data = f.read()
     bad = str(tmp_path / "trunc.weights")
-    open(bad, "wb").write(data[:-8])
+    with open(bad, "wb") as f:
+        f.write(data[:-8])
     with pytest.raises(WeightsError, match="size"):
         load_weights_native(spec, bad)
 

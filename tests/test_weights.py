@@ -82,7 +82,8 @@ def test_truncated_and_oversized_rejected(tmp_path):
     raw = random_raw_params(spec)
     path = str(tmp_path / "t.weights")
     write_weights_file(spec, raw, path)
-    data = open(path, "rb").read()
+    with open(path, "rb") as f:
+        data = f.read()
     with pytest.raises(WeightsError):
         read_weights_bytes(spec, data[:-4])
     with pytest.raises(WeightsError):
