@@ -77,7 +77,7 @@ def read_weights_file(spec: ModelSpec, path: str) -> RawParams:
 def read_weights_bytes(spec: ModelSpec, data: bytes) -> RawParams:
     if len(data) < 12:
         raise WeightsError("file shorter than header")
-    major, minor, revision = np.frombuffer(data, dtype=np.int32, count=3)
+    major, minor, revision = (int(v) for v in np.frombuffer(data, dtype=np.int32, count=3))
     offset = 12
     if major * 10 + minor >= 2:
         offset += 8  # uint64 seen
