@@ -178,7 +178,8 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.sweep:
-        for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
+        for dtype, prec in (("float32", "highest"), ("float32", "high"),
+                            ("bfloat16", "default")):
             for batch in (8, 16, 32):
                 try:
                     measure_tpu(args.model, args.size, batch, args.iters,
