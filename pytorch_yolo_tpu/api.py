@@ -109,7 +109,11 @@ class Detector:
             self.params = replicate_params(host, mesh)
         else:
             self.params = host
-        self._pipelines: dict[_PipelineKey, object] = {}
+        import collections
+
+        self._pipelines: "collections.OrderedDict[_PipelineKey, object]" = (
+            collections.OrderedDict())
+        self.max_cached_pipelines = 32  # LRU bound for long-running servers
 
     # ------------------------------------------------------------------
     # Construction
@@ -205,6 +209,10 @@ class Detector:
         if fn is None:
             fn = self._build_pipeline(key)
             self._pipelines[key] = fn
+            while len(self._pipelines) > self.max_cached_pipelines:
+                self._pipelines.popitem(last=False)  # evict least-recent
+        else:
+            self._pipelines.move_to_end(key)
         return fn
 
     def _resolve_size(self, size: int | None) -> int:

@@ -175,3 +175,15 @@ def test_bad_size_rejected(tiny_detector):
 
     with _pytest.raises(ValueError, match="multiple of 32"):
         tiny_detector.detect(_image(21), size=300)
+
+
+def test_pipeline_cache_lru_eviction():
+    det = pyt.Detector.load("yolov3-tiny")
+    det.max_cached_pipelines = 2
+    for size in (320, 416):
+        det.detect(_image(30, h=64, w=64), size=size, conf=0.9)
+    assert len(det._pipelines) == 2
+    det.detect(_image(30, h=64, w=64), size=608, conf=0.9)  # evicts oldest
+    assert len(det._pipelines) == 2
+    sizes = {k.size for k in det._pipelines}
+    assert sizes == {416, 608}
