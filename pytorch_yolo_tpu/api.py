@@ -181,18 +181,40 @@ class Detector:
         use_pallas = self.use_pallas
         interp = self.interp
 
-        def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
-            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr, method=interp)
-            heads = forward(params, x)
+        def postprocess(heads) -> NMSResult:
             rows = decode_score_all(heads, spec, key.size,
                                     score_mode=score_mode, use_pallas=use_pallas)
-            res = batched_nms_fused(
+            return batched_nms_fused(
                 rows,
                 conf_thresh=key.conf,
                 iou_thresh=key.iou,
                 max_det=key.max_det,
                 use_pallas=use_pallas,
             )
+
+        if self.mesh is not None:
+            # Pallas kernels are opaque to the GSPMD partitioner — run the
+            # decode/NMS stage under shard_map so each chip executes the
+            # kernels on its local batch shard (no cross-batch communication
+            # exists in this stage by construction).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.sharding import BATCH_AXIS
+
+            n_heads = len(spec.yolo_layers)
+            postprocess = shard_map(
+                postprocess,
+                mesh=self.mesh,
+                in_specs=(tuple(P(BATCH_AXIS) for _ in range(n_heads)),),
+                out_specs=NMSResult(*(P(BATCH_AXIS) for _ in range(5))),
+                check_rep=False,
+            )
+
+        def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
+            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr, method=interp)
+            heads = forward(params, x)
+            res = postprocess(tuple(heads))
             return res._replace(boxes=unletterbox_boxes(res.boxes, geo))
 
         if self.mesh is not None:
