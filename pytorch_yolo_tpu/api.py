@@ -197,7 +197,7 @@ class Detector:
             # decode/NMS stage under shard_map so each chip executes the
             # kernels on its local batch shard (no cross-batch communication
             # exists in this stage by construction).
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from .parallel.sharding import BATCH_AXIS

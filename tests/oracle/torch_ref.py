@@ -151,7 +151,7 @@ def decode_oracle(
     a = len(anchors)
     attrs = 5 + num_classes
     assert ch == a * attrs
-    p = torch.from_numpy(raw_nchw).float()
+    p = torch.from_numpy(np.array(raw_nchw)).float()
     # (N, A*attrs, G*G) -> (N, G*G, A*attrs) -> (N, G*G*A, attrs)
     p = p.reshape(n, a * attrs, g * g).transpose(1, 2).reshape(n, g * g * a, attrs)
 
