@@ -208,7 +208,7 @@ class Detector:
                 mesh=self.mesh,
                 in_specs=(tuple(P(BATCH_AXIS) for _ in range(n_heads)),),
                 out_specs=NMSResult(*(P(BATCH_AXIS) for _ in range(5))),
-                check_rep=False,
+                check_vma=False,
             )
 
         def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
