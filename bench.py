@@ -88,6 +88,41 @@ def measure_cpu_baseline(size: int = 416, iters: int = 3) -> float:
     return ips
 
 
+class BenchTimeout(RuntimeError):
+    pass
+
+
+_watchdog_timer = None
+
+
+def _watchdog(seconds: int, payload: dict | None = None):
+    """Thread-based bound so a wedged device can't hang the harness.
+
+    Device acquisition hangs inside C (PJRT init), where SIGALRM handlers
+    never run — a daemon timer thread instead prints the fallback JSON line
+    and hard-exits, so the driver always gets its one-line contract."""
+    import threading
+
+    global _watchdog_timer
+
+    def fire():
+        log(f"WATCHDOG: no result within {seconds}s — device unavailable")
+        if payload is not None:
+            print(json.dumps(payload), flush=True)
+        os._exit(3)
+
+    _watchdog_timer = threading.Timer(seconds, fire)
+    _watchdog_timer.daemon = True
+    _watchdog_timer.start()
+
+
+def _disarm():
+    global _watchdog_timer
+    if _watchdog_timer is not None:
+        _watchdog_timer.cancel()
+        _watchdog_timer = None
+
+
 def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
                 compute_dtype: str, precision: str) -> float:
     import jax
@@ -175,27 +210,51 @@ def main() -> None:
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also log a dtype/batch sweep table to stderr")
+    ap.add_argument("--timeout", type=int, default=480,
+                    help="watchdog seconds for the headline measurement")
     args = ap.parse_args()
 
-    if args.sweep:
-        for dtype, prec in (("float32", "highest"), ("float32", "high"),
-                            ("bfloat16", "default")):
-            for batch in (8, 16, 32):
-                try:
-                    measure_tpu(args.model, args.size, batch, args.iters,
-                                args.warmup, dtype, prec)
-                except Exception as e:  # keep sweeping; headline run follows
-                    log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
-        for fn, fnargs in ((measure_multires, (args.model, max(args.iters // 3, 5))),
-                           (measure_stream, (args.model, 50))):
-            for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
-                try:
-                    fn(*fnargs, dtype, prec)
-                except Exception as e:
-                    log(f"{fn.__name__} {dtype} failed: {e}")
+    fallback = {
+        "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end "
+                  f"bytes-to-boxes, {args.dtype}/{args.precision}, "
+                  f"backend=unavailable)",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }
 
-    ips = measure_tpu(args.model, args.size, args.batch, args.iters, args.warmup,
-                      args.dtype, args.precision)
+    if args.sweep:
+        _watchdog(args.timeout * 4, payload=fallback)
+        try:
+            for dtype, prec in (("float32", "highest"), ("float32", "high"),
+                                ("bfloat16", "default")):
+                for batch in (8, 16, 32):
+                    try:
+                        measure_tpu(args.model, args.size, batch, args.iters,
+                                    args.warmup, dtype, prec)
+                    except Exception as e:  # keep sweeping; headline run follows
+                        log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
+            for fn, fnargs in ((measure_multires, (args.model, max(args.iters // 3, 5))),
+                               (measure_stream, (args.model, 50))):
+                for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
+                    try:
+                        fn(*fnargs, dtype, prec)
+                    except Exception as e:
+                        log(f"{fn.__name__} {dtype} failed: {e}")
+        except BenchTimeout as e:
+            log(f"WATCHDOG during sweep: {e}")
+        finally:
+            _disarm()
+
+    import jax
+
+    _watchdog(args.timeout, payload=fallback)
+    try:
+        ips = measure_tpu(args.model, args.size, args.batch, args.iters,
+                          args.warmup, args.dtype, args.precision)
+        backend = jax.default_backend()
+    finally:
+        _disarm()
     if args.skip_cpu_baseline:
         base = None
     else:
@@ -203,7 +262,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end bytes-to-boxes, "
-                  f"{args.dtype}/{args.precision})",
+                  f"{args.dtype}/{args.precision}, backend={backend})",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / base, 2) if base else None,
