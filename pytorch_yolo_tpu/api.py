@@ -28,8 +28,8 @@ from .models.darknet import build_forward
 from .ops.decode import decode_all
 from .ops.nms import NMSResult, batched_nms, batched_nms_fused
 from .ops.pallas_kernels import decode_score_all
-from .ops.postprocess import unletterbox_boxes
-from .ops.preprocess import letterbox_batch, letterbox_geometry
+from .ops.postprocess import unletterbox_boxes, unletterbox_boxes_dynamic
+from .ops.preprocess import letterbox_batch, letterbox_geometry, letterbox_host
 from .parallel.sharding import (
     batch_sharding,
     make_batch_mesh,
@@ -59,13 +59,14 @@ class Detection(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class _PipelineKey:
     batch: int
-    orig_h: int
+    orig_h: int  # 0 for prepared-input pipelines (host letterbox)
     orig_w: int
     size: int
     conf: float
     iou: float
     max_det: int
     bgr: bool
+    prepared: bool = False
 
 
 class Detector:
@@ -173,7 +174,6 @@ class Detector:
     # ------------------------------------------------------------------
 
     def _build_pipeline(self, key: _PipelineKey):
-        geo = letterbox_geometry(key.orig_h, key.orig_w, key.size)
         forward = self._forward
         spec = self.spec
         score_mode = self.score_mode
@@ -211,19 +211,31 @@ class Detector:
                 check_vma=False,
             )
 
-        def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
-            x = letterbox_batch(imgs, size=key.size, bgr=key.bgr, method=interp)
-            heads = forward(params, x)
-            res = postprocess(tuple(heads))
-            return res._replace(boxes=unletterbox_boxes(res.boxes, geo))
+        if key.prepared:
+            # Host-letterboxed inputs with per-image traced geometry: ONE
+            # compiled pipeline serves every source resolution (COCO-style
+            # heterogeneous datasets; SURVEY.md §7 P6 shape-bucket note).
+            def pipeline(params, x: jnp.ndarray, geos: jnp.ndarray) -> NMSResult:
+                heads = forward(params, x)
+                res = postprocess(tuple(heads))
+                return res._replace(
+                    boxes=unletterbox_boxes_dynamic(res.boxes, geos))
+        else:
+            geo = letterbox_geometry(key.orig_h, key.orig_w, key.size)
+
+            def pipeline(params, imgs: jnp.ndarray) -> NMSResult:
+                x = letterbox_batch(imgs, size=key.size, bgr=key.bgr, method=interp)
+                heads = forward(params, x)
+                res = postprocess(tuple(heads))
+                return res._replace(boxes=unletterbox_boxes(res.boxes, geo))
 
         if self.mesh is not None:
-            in_shardings = (
-                jax.tree_util.tree_map(lambda _: jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()), self.params),
-                batch_sharding(self.mesh),
-            )
-            return jax.jit(pipeline, in_shardings=in_shardings)
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            arg_shardings = [jax.tree_util.tree_map(lambda _: rep, self.params),
+                             batch_sharding(self.mesh)]
+            if key.prepared:
+                arg_shardings.append(batch_sharding(self.mesh))
+            return jax.jit(pipeline, in_shardings=tuple(arg_shardings))
         return jax.jit(pipeline)
 
     def _pipeline(self, key: _PipelineKey):
@@ -329,6 +341,25 @@ class Detector:
             ))
         return out
 
+    def detect_prepared(
+        self,
+        x: np.ndarray,
+        geos: np.ndarray,
+        size: int,
+        conf: float = 0.5,
+        iou: float = 0.4,
+        max_det: int = 300,
+    ) -> NMSResult:
+        """Run the shape-agnostic pipeline on host-letterboxed inputs.
+
+        ``x``: (N, S, S, 3) float32 from :func:`letterbox_host`;
+        ``geos``: (N, 5) float32 [scale, pad_x, pad_y, orig_w, orig_h].
+        One compiled program serves every source resolution."""
+        key = _PipelineKey(batch=x.shape[0], orig_h=0, orig_w=0, size=size,
+                           conf=conf, iou=iou, max_det=max_det, bgr=False,
+                           prepared=True)
+        return self._pipeline(key)(self.params, jnp.asarray(x), jnp.asarray(geos))
+
     def detect_stream(
         self,
         images,
@@ -338,6 +369,7 @@ class Detector:
         max_det: int = 300,
         bgr: bool = True,
         depth: int = 2,
+        host_preproc: bool = False,
     ):
         """Pipelined detection over an iterable of (H, W, 3) uint8 images.
 
@@ -345,14 +377,27 @@ class Detector:
         drawing, bookkeeping) of item t+1 overlaps device compute of item t —
         the same double-buffering the video loop uses (SURVEY.md §3.4's
         serial-loop fix), generalized to any image source.  Yields
-        :class:`Detection` in input order."""
+        :class:`Detection` in input order.
+
+        ``host_preproc=True`` letterboxes on the host and feeds the
+        shape-agnostic pipeline — use for heterogeneous source sizes (e.g.
+        COCO) to avoid per-shape recompilation."""
         import collections
 
         inflight: collections.deque = collections.deque()
+        rsize = self._resolve_size(size)
 
         def dispatch(img: np.ndarray):
-            inflight.append(self.raw_result(
-                img[None], size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
+            if host_preproc:
+                lb, geo = letterbox_host(img, rsize, bgr=bgr, method=self.interp)
+                geos = np.asarray(
+                    [[geo.scale, geo.pad_x, geo.pad_y, geo.orig_w, geo.orig_h]],
+                    dtype=np.float32)
+                inflight.append(self.detect_prepared(
+                    lb[None], geos, rsize, conf=conf, iou=iou, max_det=max_det))
+            else:
+                inflight.append(self.raw_result(
+                    img[None], size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
 
         it = iter(images)
         try:

@@ -208,10 +208,11 @@ def cmd_evaluate(args) -> int:
             kept_samples.append(sample)
             yield img
 
-    # detect_stream overlaps cv2 decode of image t+1 with device compute of t
+    # detect_stream overlaps cv2 decode of image t+1 with device compute of t;
+    # host_preproc: COCO sizes are heterogeneous — one compiled pipeline
     for i, d in enumerate(det.detect_stream(
             image_gen(), size=args.reso, conf=args.confidence,
-            iou=args.nms_thresh, max_det=args.max_det)):
+            iou=args.nms_thresh, max_det=args.max_det, host_preproc=True)):
         sample = kept_samples[i]
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
         evals.append(ImageEval(

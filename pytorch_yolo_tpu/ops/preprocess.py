@@ -90,6 +90,60 @@ def letterbox_image(
     return canvas / 255.0
 
 
+def letterbox_host(
+    img: "np.ndarray",
+    size: int,
+    bgr: bool = True,
+    fill: float = 128.0,
+    method: str = "linear",
+) -> tuple["np.ndarray", LetterboxGeometry]:
+    """Host-side letterbox: (H0, W0, 3) uint8 -> ((S, S, 3) f32 [0,1], geometry).
+
+    Same math as :func:`letterbox_image` (float32 resize, half-pixel centers,
+    no antialias) but on the CPU — used when source shapes are heterogeneous
+    (e.g. COCO evaluation) so ONE compiled pipeline serves every image
+    instead of one per unique source shape.  Uses OpenCV's C++ resize when
+    available, else a numpy fallback."""
+    import numpy as np
+
+    h0, w0 = img.shape[:2]
+    geo = letterbox_geometry(h0, w0, size)
+    x = img.astype(np.float32)
+    if bgr:
+        x = x[..., ::-1]
+    try:
+        import cv2
+
+        interp = cv2.INTER_LINEAR if method == "linear" else cv2.INTER_CUBIC
+        resized = cv2.resize(x, (geo.new_w, geo.new_h), interpolation=interp)
+    except ImportError:
+        resized = _numpy_bilinear(x, geo.new_h, geo.new_w)
+    if method == "cubic":
+        resized = np.clip(resized, 0.0, 255.0)
+    canvas = np.full((size, size, 3), fill, dtype=np.float32)
+    canvas[geo.pad_y : geo.pad_y + geo.new_h, geo.pad_x : geo.pad_x + geo.new_w] = resized
+    return canvas / 255.0, geo
+
+
+def _numpy_bilinear(img, out_h: int, out_w: int):
+    """Half-pixel-center bilinear resize (float32, no antialias)."""
+    import numpy as np
+
+    in_h, in_w = img.shape[:2]
+    sy, sx = in_h / out_h, in_w / out_w
+    ys = (np.arange(out_h) + 0.5) * sy - 0.5
+    xs = (np.arange(out_w) + 0.5) * sx - 0.5
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0c, y1c = np.clip(y0, 0, in_h - 1), np.clip(y0 + 1, 0, in_h - 1)
+    x0c, x1c = np.clip(x0, 0, in_w - 1), np.clip(x0 + 1, 0, in_w - 1)
+    top = img[y0c][:, x0c] * (1 - wx) + img[y0c][:, x1c] * wx
+    bot = img[y1c][:, x0c] * (1 - wx) + img[y1c][:, x1c] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "bgr", "fill", "method"))
 def letterbox_batch(
     imgs: jnp.ndarray,

@@ -35,3 +35,31 @@ def test_stream_mixed_shapes(det):
     imgs = _imgs(2, h=240, w=320) + _imgs(2, h=320, w=240)
     out = list(det.detect_stream(iter(imgs), size=320, conf=0.5))
     assert len(out) == 4
+
+
+def test_host_preproc_stream_matches_device_path(det):
+    """Shape-agnostic host-letterbox path == per-shape device path."""
+    imgs = _imgs(2, seed=9, h=123, w=210) + _imgs(2, seed=10, h=300, w=200)
+    dev = list(det.detect_stream(iter(imgs), size=320, conf=0.5))
+    host = list(det.detect_stream(iter(imgs), size=320, conf=0.5, host_preproc=True))
+    assert len(dev) == len(host) == 4
+    for a, b in zip(dev, host):
+        assert abs(len(a) - len(b)) <= 1  # resize fp differences at boundaries
+        m = min(len(a), len(b))
+        if m:
+            # match by sorted x1 ordering
+            sa = a.boxes[np.argsort(a.boxes[:, 0])][:m]
+            sb = b.boxes[np.argsort(b.boxes[:, 0])][:m]
+            np.testing.assert_allclose(sa, sb, rtol=1e-2, atol=1.0)
+
+
+def test_host_preproc_single_pipeline(det):
+    """Heterogeneous shapes share ONE compiled prepared pipeline."""
+    det2 = pyt.Detector.load("yolov3-tiny")
+    imgs = [
+        np.zeros((h, w, 3), np.uint8)
+        for h, w in ((100, 150), (200, 120), (317, 461))
+    ]
+    list(det2.detect_stream(iter(imgs), size=320, conf=0.9, host_preproc=True))
+    prepared = [k for k in det2._pipelines if k.prepared]
+    assert len(prepared) == 1
