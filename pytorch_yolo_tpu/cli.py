@@ -234,6 +234,31 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Print a model summary (layers, params, heads, detection counts)."""
+    from .config import ConvSpec, load_model_spec
+    from .models.zoo import model_spec as zoo_spec
+    from .weights import param_count
+
+    source = args.cfg or args.model
+    if source is None:
+        raise SystemExit("one of --model / --cfg is required")
+    spec = load_model_spec(source) if source.endswith(".cfg") else zoo_spec(source)
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    heads = spec.yolo_layers
+    from .config import head_strides
+
+    print(f"model: {source}")
+    print(f"layers: {len(spec.layers)}  convs: {len(convs)}  "
+          f"params: {param_count(spec):,} ({param_count(spec) * 4 / 1e6:.1f} MB fp32)")
+    print(f"net input: {spec.net.width}x{spec.net.height}  classes: {spec.num_classes}")
+    for h, s in zip(heads, head_strides(spec)):
+        print(f"  head @stride {s:>2}: anchors {h.anchors}")
+    for size in (320, 416, 608):
+        print(f"  detections @{size}: {spec.num_detections(size)}")
+    return 0
+
+
 def cmd_export_cfg(args) -> int:
     from .models.zoo import write_cfg
 
@@ -274,6 +299,11 @@ def main(argv=None) -> int:
     p.add_argument("--score", default="obj", choices=("obj", "obj*cls"),
                    help="detection score used for PR ranking")
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("info", help="print a model summary")
+    p.add_argument("--model", default=None)
+    p.add_argument("--cfg", default=None)
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("export-cfg", help="emit a zoo model as a Darknet .cfg")
     p.add_argument("--model", required=True)

@@ -163,3 +163,10 @@ def test_video_tolerates_decoder_errors(assets, monkeypatch):
     # 6 reads, 2 raised -> 4 good frames
     assert len(results) == 4
     assert [r.index for r in results] == [0, 1, 3, 5]
+
+
+def test_info_command(capsys):
+    rc = main(["info", "--model", "yolov3-tiny"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "8,858,734" in out and "detections @416: 2535" in out
