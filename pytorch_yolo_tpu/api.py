@@ -249,12 +249,17 @@ class Detector:
             self._pipelines.move_to_end(key)
         return fn
 
-    def _resolve_size(self, size: int | None) -> int:
-        """Default to the cfg's [net] width, like the reference's detect()."""
+    def _resolve_size(self, size: "int | tuple[int, int] | None"):
+        """Default to the cfg's [net] size, like the reference's detect().
+
+        Accepts a square int or an (H, W) pair (rectangular net input)."""
         if size is None:
-            size = self.spec.net.width
-        if size % 32:
-            raise ValueError(f"input size {size} must be a multiple of 32")
+            h, w = self.spec.net.height, self.spec.net.width
+            size = w if h == w else (h, w)
+        dims = size if isinstance(size, tuple) else (size,)
+        for d in dims:
+            if d % 32:
+                raise ValueError(f"input size {size} must be a multiple of 32")
         return size
 
     # ------------------------------------------------------------------

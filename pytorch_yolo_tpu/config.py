@@ -145,17 +145,16 @@ class ModelSpec:
             raise ConfigError("model has no [yolo] layers")
         return heads[0].classes
 
-    def num_detections(self, input_size: int) -> int:
-        """Total anchor boxes D for a given square input size.
+    def num_detections(self, input_size: "int | tuple[int, int]") -> int:
+        """Total anchor boxes D for a given input size (square int or (H, W)).
 
         For full YOLOv3 at 416: 10647; tiny at 416: 2535 (SURVEY.md §3.3)."""
+        sh, sw = ((input_size, input_size) if isinstance(input_size, int)
+                  else input_size)
         total = 0
-        stride_acc = 1
-        # Recompute per-head stride by walking spatial scaling.
         strides = head_strides(self)
         for head, stride in zip(self.yolo_layers, strides):
-            g = input_size // stride
-            total += len(head.anchors) * g * g
+            total += len(head.anchors) * (sh // stride) * (sw // stride)
         return total
 
 

@@ -160,12 +160,15 @@ def build_forward(
     return apply
 
 
-def head_shapes(spec: ModelSpec, input_size: int, batch: int = 1) -> tuple[tuple[int, ...], ...]:
-    """Static (N, G, G, A*(5+C)) shape of each head at a given input size."""
+def head_shapes(spec: ModelSpec, input_size: "int | tuple[int, int]",
+                batch: int = 1) -> tuple[tuple[int, ...], ...]:
+    """Static (N, Gy, Gx, A*(5+C)) shape of each head at a given input size
+    (square int or (H, W) pair)."""
     from ..config import head_strides
 
+    sh, sw = (input_size, input_size) if isinstance(input_size, int) else input_size
     shapes = []
     for head, stride in zip(spec.yolo_layers, head_strides(spec)):
-        g = input_size // stride
-        shapes.append((batch, g, g, len(head.anchors) * (5 + head.classes)))
+        shapes.append((batch, sh // stride, sw // stride,
+                       len(head.anchors) * (5 + head.classes)))
     return tuple(shapes)

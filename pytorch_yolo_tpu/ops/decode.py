@@ -29,10 +29,10 @@ from jax import lax
 from ..config import ModelSpec, YoloSpec, head_strides
 
 
-def _grid_offsets(g: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(g, g) arrays of column (cx) and row (cy) indices."""
-    cx = lax.broadcasted_iota(dtype, (g, g), 1)
-    cy = lax.broadcasted_iota(dtype, (g, g), 0)
+def _grid_offsets(gy: int, gx: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(gy, gx) arrays of column (cx) and row (cy) indices."""
+    cx = lax.broadcasted_iota(dtype, (gy, gx), 1)
+    cy = lax.broadcasted_iota(dtype, (gy, gx), 0)
     return cx, cy
 
 
@@ -42,17 +42,17 @@ def decode_head(
     stride: int,
     num_classes: int,
 ) -> jnp.ndarray:
-    """Decode one head's raw (N, G, G, A*(5+C)) map to (N, G*G*A, 5+C).
+    """Decode one head's raw (N, Gy, Gx, A*(5+C)) map to (N, Gy*Gx*A, 5+C).
 
     Returns [bx, by, bw, bh, obj, p0..pC-1] with box centers/sizes in
-    net-input pixels, fp32."""
-    n, g, g2, ch = raw.shape
+    net-input pixels, fp32.  Gy != Gx supported (rectangular net input)."""
+    n, gy, gx, ch = raw.shape
     a = len(anchors)
     c = num_classes
-    assert g == g2 and ch == a * (5 + c), (raw.shape, anchors, num_classes)
+    assert ch == a * (5 + c), (raw.shape, anchors, num_classes)
 
-    x = raw.reshape(n, g, g, a, 5 + c).astype(jnp.float32)
-    cx, cy = _grid_offsets(g)
+    x = raw.reshape(n, gy, gx, a, 5 + c).astype(jnp.float32)
+    cx, cy = _grid_offsets(gy, gx)
 
     bx = (lax.logistic(x[..., 0]) + cx[None, :, :, None]) * float(stride)
     by = (lax.logistic(x[..., 1]) + cy[None, :, :, None]) * float(stride)
@@ -68,7 +68,7 @@ def decode_head(
         axis=-1,
     )
     # cell-major, anchor-minor flatten (reference detection order, SURVEY.md §3.3)
-    return out.reshape(n, g * g * a, 5 + c)
+    return out.reshape(n, gy * gx * a, 5 + c)
 
 
 def decode_all(

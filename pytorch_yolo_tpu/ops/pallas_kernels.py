@@ -95,15 +95,15 @@ def decode_score_head(
     score_mode: str = "obj",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """(N, G, G, A*(5+C)) raw head -> (N, G*G*A, 8) fused decode+score rows.
+    """(N, Gy, Gx, A*(5+C)) raw head -> (N, Gy*Gx*A, 8) fused decode+score rows.
 
     Columns: x1, y1, x2, y2 (net-input px corners), obj, cls_score,
-    cls_id (as f32), rank."""
-    n, g, _, ch = raw.shape
+    cls_id (as f32), rank.  Gy != Gx supported (rectangular net input)."""
+    n, gy, gx, ch = raw.shape
     a = len(anchors)
     attrs = 5 + num_classes
     assert ch == a * attrs
-    rows = g * g * a
+    rows = gy * gx * a
     flat = raw.reshape(n, rows, attrs)  # free reshape (row-major compatible)
 
     block_rows = min(_round_up(rows, 8), 1024)
@@ -119,8 +119,8 @@ def decode_score_head(
     cell, anc_i = r // a, r % a
     anc = np.asarray(anchors, dtype=np.float32)
     geom = np.stack([
-        (cell % g).astype(np.float32),
-        (cell // g).astype(np.float32),
+        (cell % gx).astype(np.float32),
+        (cell // gx).astype(np.float32),
         anc[anc_i, 0],
         anc[anc_i, 1],
     ], axis=1)[None]  # (1, padded, 4)

@@ -40,20 +40,35 @@ class LetterboxGeometry(NamedTuple):
     pad_y: int
     orig_w: int
     orig_h: int
-    size: int
+    size: "int | tuple[int, int]"
+
+    @property
+    def out_hw(self) -> tuple[int, int]:
+        return _size_hw(self.size)
 
 
-def letterbox_geometry(orig_h: int, orig_w: int, size: int) -> LetterboxGeometry:
-    """Compute the (static) resize/pad geometry for an (H0, W0) -> S letterbox."""
-    scale = min(size / orig_w, size / orig_h)
+def _size_hw(size: "int | tuple[int, int]") -> tuple[int, int]:
+    """Normalize a network input size: int S -> (S, S); (H, W) passes through."""
+    if isinstance(size, tuple):
+        return size
+    return (size, size)
+
+
+def letterbox_geometry(orig_h: int, orig_w: int,
+                       size: "int | tuple[int, int]") -> LetterboxGeometry:
+    """Compute the (static) resize/pad geometry for an (H0, W0) -> (Sh, Sw)
+    letterbox.  ``size`` may be a square int or an (H, W) pair (rectangular
+    network input)."""
+    sh, sw = _size_hw(size)
+    scale = min(sw / orig_w, sh / orig_h)
     new_w = int(orig_w * scale)
     new_h = int(orig_h * scale)
     return LetterboxGeometry(
         scale=scale,
         new_w=new_w,
         new_h=new_h,
-        pad_x=(size - new_w) // 2,
-        pad_y=(size - new_h) // 2,
+        pad_x=(sw - new_w) // 2,
+        pad_y=(sh - new_h) // 2,
         orig_w=orig_w,
         orig_h=orig_h,
         size=size,
@@ -63,12 +78,12 @@ def letterbox_geometry(orig_h: int, orig_w: int, size: int) -> LetterboxGeometry
 @functools.partial(jax.jit, static_argnames=("size", "bgr", "fill", "method"))
 def letterbox_image(
     img: jnp.ndarray,
-    size: int,
+    size: "int | tuple[int, int]",
     bgr: bool = True,
     fill: float = 128.0,
     method: str = "linear",
 ) -> jnp.ndarray:
-    """Letterbox one (H0, W0, 3) uint8 image to (S, S, 3) float32 in [0,1].
+    """Letterbox one (H0, W0, 3) uint8 image to (Sh, Sw, 3) float32 in [0,1].
 
     ``bgr=True`` flips the channel order (OpenCV decode convention).
     ``method``: "linear" (default) or "cubic" (Keys bicubic) — the reference
@@ -77,6 +92,7 @@ def letterbox_image(
     (SURVEY.md §7 hard parts)."""
     h0, w0 = img.shape[0], img.shape[1]
     geo = letterbox_geometry(h0, w0, size)
+    sh, sw = geo.out_hw
 
     x = img.astype(jnp.float32)
     if bgr:
@@ -85,19 +101,19 @@ def letterbox_image(
     if method == "cubic":
         # bicubic overshoots; the uint8 reference clamps implicitly
         resized = jnp.clip(resized, 0.0, 255.0)
-    canvas = jnp.full((size, size, 3), fill, dtype=jnp.float32)
+    canvas = jnp.full((sh, sw, 3), fill, dtype=jnp.float32)
     canvas = lax.dynamic_update_slice(canvas, resized, (geo.pad_y, geo.pad_x, 0))
     return canvas / 255.0
 
 
 def letterbox_host(
     img: "np.ndarray",
-    size: int,
+    size: "int | tuple[int, int]",
     bgr: bool = True,
     fill: float = 128.0,
     method: str = "linear",
 ) -> tuple["np.ndarray", LetterboxGeometry]:
-    """Host-side letterbox: (H0, W0, 3) uint8 -> ((S, S, 3) f32 [0,1], geometry).
+    """Host-side letterbox: (H0, W0, 3) uint8 -> ((Sh, Sw, 3) f32 [0,1], geometry).
 
     Same math as :func:`letterbox_image` (float32 resize, half-pixel centers,
     no antialias) but on the CPU — used when source shapes are heterogeneous
@@ -108,6 +124,7 @@ def letterbox_host(
 
     h0, w0 = img.shape[:2]
     geo = letterbox_geometry(h0, w0, size)
+    sh, sw = geo.out_hw
     x = img.astype(np.float32)
     if bgr:
         x = x[..., ::-1]
@@ -120,7 +137,7 @@ def letterbox_host(
         resized = _numpy_bilinear(x, geo.new_h, geo.new_w)
     if method == "cubic":
         resized = np.clip(resized, 0.0, 255.0)
-    canvas = np.full((size, size, 3), fill, dtype=np.float32)
+    canvas = np.full((sh, sw, 3), fill, dtype=np.float32)
     canvas[geo.pad_y : geo.pad_y + geo.new_h, geo.pad_x : geo.pad_x + geo.new_w] = resized
     return canvas / 255.0, geo
 

@@ -146,24 +146,24 @@ def decode_oracle(
     stride: int,
     num_classes: int,
 ) -> np.ndarray:
-    """NCHW raw map -> (N, G*G*A, 5+C), the reference view/transpose order."""
-    n, ch, g, _ = raw_nchw.shape
+    """NCHW raw map -> (N, Gy*Gx*A, 5+C), the reference view/transpose order."""
+    n, ch, gy, gx = raw_nchw.shape
     a = len(anchors)
     attrs = 5 + num_classes
     assert ch == a * attrs
     p = torch.from_numpy(np.array(raw_nchw)).float()
-    # (N, A*attrs, G*G) -> (N, G*G, A*attrs) -> (N, G*G*A, attrs)
-    p = p.reshape(n, a * attrs, g * g).transpose(1, 2).reshape(n, g * g * a, attrs)
+    # (N, A*attrs, Gy*Gx) -> (N, Gy*Gx, A*attrs) -> (N, Gy*Gx*A, attrs)
+    p = p.reshape(n, a * attrs, gy * gx).transpose(1, 2).reshape(n, gy * gx * a, attrs)
 
-    grid = np.arange(g, dtype=np.float32)
-    cx, cy = np.meshgrid(grid, grid)  # cx varies along columns
-    offs = np.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)  # (G*G, 2)
+    cx, cy = np.meshgrid(np.arange(gx, dtype=np.float32),
+                         np.arange(gy, dtype=np.float32))  # cx varies along columns
+    offs = np.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)  # (Gy*Gx, 2)
     offs = np.repeat(offs, a, axis=0)[None]  # cell-major, anchor-minor
 
     out = p.clone()
     out[..., 0:2] = (torch.sigmoid(p[..., 0:2]) + torch.from_numpy(offs)) * stride
     anc = torch.tensor(anchors, dtype=torch.float32)  # (A, 2)
-    anc_tiled = anc.repeat(g * g, 1)[None]  # (1, G*G*A, 2)
+    anc_tiled = anc.repeat(gy * gx, 1)[None]  # (1, Gy*Gx*A, 2)
     out[..., 2:4] = anc_tiled * torch.exp(p[..., 2:4])
     out[..., 4:] = torch.sigmoid(p[..., 4:])
     return out.numpy()

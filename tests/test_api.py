@@ -187,3 +187,13 @@ def test_pipeline_cache_lru_eviction():
     assert len(det._pipelines) == 2
     sizes = {k.size for k in det._pipelines}
     assert sizes == {416, 608}
+
+
+def test_rectangular_input_size(tiny_detector):
+    """detect with size=(H, W): widescreen-friendly rectangular net input."""
+    img = _image(40)
+    d = tiny_detector.detect(img, size=(256, 416), conf=0.3)
+    assert d.boxes.shape[1] == 4
+    assert (d.boxes[:, [0, 2]] <= 640).all() and (d.boxes[:, [1, 3]] <= 480).all()
+    # detections count sanity: D = 3*(8*13 + 16*26)
+    assert tiny_detector.spec.num_detections((256, 416)) == 3 * (8 * 13 + 16 * 26)

@@ -57,3 +57,14 @@ def test_decode_all_concat(name, size, total):
     oracle = decode_all_oracle(
         spec, [np.asarray(h).transpose(0, 3, 1, 2) for h in heads], size)
     np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_rectangular_grid():
+    """Gy != Gx (rectangular net input) parity vs oracle."""
+    rng = np.random.default_rng(44)
+    gy, gx, stride, classes = 8, 13, 32, 80
+    raw = rng.normal(0, 1, size=(2, gy, gx, 255)).astype(np.float32)
+    ours = np.asarray(decode_head(jnp.asarray(raw), ANCHORS, stride, classes))
+    oracle = decode_oracle(raw.transpose(0, 3, 1, 2), ANCHORS, stride, classes)
+    assert ours.shape == oracle.shape == (2, gy * gx * 3, 5 + classes)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)

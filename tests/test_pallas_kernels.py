@@ -106,3 +106,12 @@ def test_decode_score_class_tie_breaks_to_first():
     ref = np.asarray(decode_score_head_ref(jnp.asarray(raw), ANCHORS, stride, classes))
     assert (ours[..., 6] == 2).all()
     np.testing.assert_array_equal(ours[..., 6], ref[..., 6])
+
+
+def test_decode_score_rectangular_grid():
+    rng = np.random.default_rng(45)
+    raw = rng.normal(0, 1, size=(1, 8, 13, 255)).astype(np.float32)
+    ours = np.asarray(decode_score_head(jnp.asarray(raw), ANCHORS, 32, 80))
+    ref = np.asarray(decode_score_head_ref(jnp.asarray(raw), ANCHORS, 32, 80))
+    assert ours.shape == (1, 8 * 13 * 3, 8)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
