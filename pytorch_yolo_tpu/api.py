@@ -56,6 +56,17 @@ class Detection(NamedTuple):
         return int(self.boxes.shape[0])
 
 
+def _normalize_channels(images: np.ndarray) -> np.ndarray:
+    """Coerce the trailing channel axis to 3 (grayscale/BGRA inputs)."""
+    if images.shape[-1] == 1:  # grayscale -> replicate channels
+        return np.repeat(images, 3, axis=-1)
+    if images.shape[-1] == 4:  # BGRA/RGBA -> drop alpha
+        return np.ascontiguousarray(images[..., :3])
+    if images.shape[-1] != 3:
+        raise ValueError(f"expected 1/3/4 channels, got {images.shape[-1]}")
+    return images
+
+
 @dataclasses.dataclass(frozen=True)
 class _PipelineKey:
     batch: int
@@ -294,12 +305,7 @@ class Detector:
         images = np.ascontiguousarray(images)
         if images.ndim != 4:
             raise ValueError(f"expected (N, H, W, C) uint8 batch, got {images.shape}")
-        if images.shape[-1] == 1:  # grayscale -> replicate channels
-            images = np.repeat(images, 3, axis=-1)
-        elif images.shape[-1] == 4:  # BGRA/RGBA -> drop alpha
-            images = np.ascontiguousarray(images[..., :3])
-        elif images.shape[-1] != 3:
-            raise ValueError(f"expected 1/3/4 channels, got {images.shape[-1]}")
+        images = _normalize_channels(images)
         size = self._resolve_size(size)
         n = images.shape[0]
         run_n = n
@@ -365,6 +371,54 @@ class Detector:
                            prepared=True)
         return self._pipeline(key)(self.params, jnp.asarray(x), jnp.asarray(geos))
 
+    def detect_many(
+        self,
+        images: Sequence[np.ndarray],
+        size: "int | tuple[int, int] | None" = None,
+        conf: float = 0.5,
+        iou: float = 0.4,
+        max_det: int = 300,
+        bgr: bool = True,
+        batch: int = 8,
+    ) -> list[Detection]:
+        """Detect over a list of differently-sized images with true batching.
+
+        Mirrors the reference's batching strategy (letterbox each image on
+        the host, then stack the uniform letterboxed tensors into batches —
+        SURVEY.md §3.2/§2.1 #9) on the shape-agnostic prepared pipeline.
+        Chunks are double-buffered: host letterboxing of chunk t+1 overlaps
+        device compute of chunk t."""
+        rsize = self._resolve_size(size)
+        out: list[Detection] = []
+        pending: "tuple[NMSResult, int] | None" = None
+
+        def prepare(chunk):
+            lbs, geos = [], []
+            for im in chunk:
+                lb, g = letterbox_host(_normalize_channels(im), rsize, bgr=bgr,
+                                       method=self.interp)
+                lbs.append(lb)
+                geos.append([g.scale, g.pad_x, g.pad_y, g.orig_w, g.orig_h])
+            x = np.stack(lbs)
+            ge = np.asarray(geos, dtype=np.float32)
+            n = len(chunk)
+            if n < batch:  # pad so every chunk reuses one compiled pipeline
+                x = np.concatenate([x, np.zeros((batch - n,) + x.shape[1:], x.dtype)])
+                ge = np.concatenate(
+                    [ge, np.tile([[1.0, 0, 0, 1, 1]], (batch - n, 1)).astype(np.float32)])
+            return x, ge, n
+
+        for start in range(0, len(images), batch):
+            x, ge, n = prepare(images[start : start + batch])
+            res = self.detect_prepared(x, ge, rsize, conf=conf, iou=iou,
+                                       max_det=max_det)
+            if pending is not None:
+                out.extend(self._trim(*pending))
+            pending = (res, n)
+        if pending is not None:
+            out.extend(self._trim(*pending))
+        return out
+
     def detect_stream(
         self,
         images,
@@ -394,7 +448,8 @@ class Detector:
 
         def dispatch(img: np.ndarray):
             if host_preproc:
-                lb, geo = letterbox_host(img, rsize, bgr=bgr, method=self.interp)
+                lb, geo = letterbox_host(_normalize_channels(img), rsize, bgr=bgr,
+                                         method=self.interp)
                 geos = np.asarray(
                     [[geo.scale, geo.pad_x, geo.pad_y, geo.orig_w, geo.orig_h]],
                     dtype=np.float32)

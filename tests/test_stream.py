@@ -53,6 +53,28 @@ def test_host_preproc_stream_matches_device_path(det):
             np.testing.assert_allclose(sa, sb, rtol=1e-2, atol=1.0)
 
 
+@pytest.mark.parametrize("n,batch", [(0, 4), (1, 4), (5, 2), (4, 4)])
+def test_detect_many_counts_and_parity(det, n, batch):
+    """Batched mixed-shape detection == host-preproc stream, any n/batch."""
+    imgs = _imgs(max(n - 1, 0), seed=21, h=200, w=260) + _imgs(min(n, 1), h=150, w=90)
+    many = det.detect_many(imgs, size=320, conf=0.5, batch=batch)
+    assert len(many) == n
+    solo = list(det.detect_stream(iter(imgs), size=320, conf=0.5, host_preproc=True))
+    for a, b in zip(many, solo):
+        assert len(a) == len(b)
+        if len(a):
+            np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-5, atol=1e-3)
+
+
+def test_detect_many_single_pipeline(det):
+    """Mixed source shapes through detect_many compile ONE prepared pipeline."""
+    det2 = pyt.Detector.load("yolov3-tiny")
+    imgs = [np.zeros((h, w, 3), np.uint8) for h, w in ((100, 150), (200, 120), (317, 461))]
+    det2.detect_many(imgs, size=320, conf=0.9, batch=2)
+    prepared = [k for k in det2._pipelines if k.prepared]
+    assert len(prepared) == 1
+
+
 def test_host_preproc_single_pipeline(det):
     """Heterogeneous shapes share ONE compiled prepared pipeline."""
     det2 = pyt.Detector.load("yolov3-tiny")
