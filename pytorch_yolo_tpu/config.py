@@ -106,6 +106,39 @@ class ShortcutSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class ReorgSpec:
+    """``[reorg]``: YOLOv2 passthrough layer, (H, W, C) -> (H/s, W/s, C*s²).
+
+    Darknet's reorg is NOT a plain space-to-depth: its C implementation
+    flat-reinterprets the NCHW input buffer as (C/s², H*s, W*s), gathers with
+    stride-interleaved offsets, and the (C, H, W)-indexed result is consumed
+    downstream as (C*s², H/s, W/s).  Upstream yolov2 weights were trained
+    against exactly that shuffle, so we reproduce it bit-for-bit
+    (models/darknet.py:_reorg; oracle: tests/oracle/torch_ref.py)."""
+
+    index: int
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionSpec:
+    """``[region]`` detection head (YOLOv2).
+
+    Differences from ``[yolo]`` (SURVEY.md §2.1 #5 documents the v3 head):
+    ``anchors`` are in *grid-cell units* (scaled by the head stride at decode
+    time), there is no mask (all ``num`` anchors are live at the single
+    scale), and class scores use a softmax over classes instead of
+    independent sigmoids (when ``softmax=1``; raw logits otherwise,
+    matching Darknet's region_layer)."""
+
+    index: int
+    anchors: tuple[tuple[float, float], ...]  # grid-cell units
+    classes: int
+    num: int
+    softmax: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class YoloSpec:
     """``[yolo]`` detection head.
 
@@ -118,7 +151,8 @@ class YoloSpec:
     mask: tuple[int, ...]
 
 
-LayerSpec = ConvSpec | MaxPoolSpec | UpsampleSpec | RouteSpec | ShortcutSpec | YoloSpec
+LayerSpec = (ConvSpec | MaxPoolSpec | UpsampleSpec | RouteSpec | ShortcutSpec
+             | ReorgSpec | RegionSpec | YoloSpec)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,8 +169,9 @@ class ModelSpec:
     out_channels: tuple[int, ...]
 
     @property
-    def yolo_layers(self) -> tuple[YoloSpec, ...]:
-        return tuple(l for l in self.layers if isinstance(l, YoloSpec))
+    def yolo_layers(self) -> "tuple[YoloSpec | RegionSpec, ...]":
+        """All detection heads, [yolo] (v3) and [region] (v2) alike."""
+        return tuple(l for l in self.layers if isinstance(l, (YoloSpec, RegionSpec)))
 
     @property
     def num_classes(self) -> int:
@@ -274,6 +309,32 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
                     f"layer {i}: shortcut channel mismatch {out_ch[frm]} vs {prev_ch}"
                 )
             ch = prev_ch
+        elif btype == "reorg":
+            s = _int(block, "stride", 2)
+            if _int(block, "reverse", 0):
+                raise ConfigError(f"layer {i}: [reorg] reverse=1 is unsupported")
+            if s < 1 or prev_ch % (s * s):
+                raise ConfigError(
+                    f"layer {i}: reorg stride {s} incompatible with {prev_ch} channels")
+            spec = ReorgSpec(index=i, stride=s)
+            ch = prev_ch * s * s
+        elif btype == "region":
+            flat = [float(t) for t in block["anchors"].replace(" ", "").split(",") if t]
+            if len(flat) % 2:
+                raise ConfigError(f"layer {i}: odd anchor list")
+            pairs = tuple((flat[j], flat[j + 1]) for j in range(0, len(flat), 2))
+            num = _int(block, "num", len(pairs))
+            if num != len(pairs):
+                raise ConfigError(
+                    f"layer {i}: [region] num={num} but {len(pairs)} anchors given")
+            spec = RegionSpec(
+                index=i,
+                anchors=pairs,
+                classes=_int(block, "classes", 20),
+                num=num,
+                softmax=bool(_int(block, "softmax", 1)),
+            )
+            ch = prev_ch
         elif btype == "yolo":
             mask = tuple(int(t) for t in block["mask"].replace(" ", "").split(",") if t)
             flat = [float(t) for t in block["anchors"].replace(" ", "").split(",") if t]
@@ -298,7 +359,7 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
         prev_ch = ch
 
     spec = ModelSpec(net=net, layers=tuple(layers), out_channels=tuple(out_ch))
-    # Sanity: every yolo layer must follow a linear conv producing A*(5+C).
+    # Sanity: every detection head must follow a conv producing A*(5+C).
     for head in spec.yolo_layers:
         need = len(head.anchors) * (5 + head.classes)
         got = spec.out_channels[head.index - 1]
@@ -324,7 +385,7 @@ def head_strides(spec: ModelSpec) -> tuple[int, ...]:
     for layer in spec.layers:
         if isinstance(layer, ConvSpec):
             cur = cur * layer.stride
-        elif isinstance(layer, MaxPoolSpec):
+        elif isinstance(layer, (MaxPoolSpec, ReorgSpec)):
             cur = cur * layer.stride
         elif isinstance(layer, UpsampleSpec):
             cur = cur // layer.stride

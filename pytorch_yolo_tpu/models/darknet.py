@@ -34,6 +34,8 @@ from ..config import (
     ConvSpec,
     MaxPoolSpec,
     ModelSpec,
+    RegionSpec,
+    ReorgSpec,
     RouteSpec,
     ShortcutSpec,
     UpsampleSpec,
@@ -96,6 +98,32 @@ def _maxpool(x: jnp.ndarray, spec: MaxPoolSpec) -> jnp.ndarray:
     )
 
 
+def _reorg(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Darknet [reorg] (YOLOv2 passthrough): NHWC (N,H,W,C) -> (N,H/s,W/s,C*s²).
+
+    Reproduces Darknet's reorg_cpu(forward=0) *exactly*, including its famous
+    channel shuffle (config.ReorgSpec documents the semantics): the NCHW flat
+    buffer is reinterpreted as (C/s², H*s, W*s), gathered as
+    out[k, j, i] = view[k % C', j*s + (k//C')//s, i*s + (k//C')%s], and the
+    (C, H, W)-shaped result is reinterpreted as (C*s², H/s, W/s).  Upstream
+    yolov2 .weights were trained against this shuffle, so a "clean"
+    space-to-depth would silently break them.  As reshape/transpose algebra
+    (all layout moves, zero FLOPs — XLA fuses them into neighbors):
+
+        view  = x_nchw.reshape(N, C/s², H*s, W*s)      # flat reinterpret
+        six   = view.reshape(N, C/s², H, s, W, s)
+        out   = six.transpose(0, 3, 5, 1, 2, 4)        # (N, sy, sx, C/s², H, W)
+                  .reshape(N, C*s², H/s, W/s)          # flat reinterpret
+    """
+    n, h, w, c = x.shape
+    s = stride
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # darknet semantics are NCHW-flat
+    view = xc.reshape(n, c // (s * s), h * s, w * s)
+    six = view.reshape(n, c // (s * s), h, s, w, s)
+    out = jnp.transpose(six, (0, 3, 5, 1, 2, 4)).reshape(n, c * s * s, h // s, w // s)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     """Nearest-neighbor upsample via reshape+broadcast (no gather, XLA-friendly)."""
     n, h, w, c = x.shape
@@ -145,12 +173,14 @@ def build_forward(
                 x = _maxpool(x, layer)
             elif isinstance(layer, UpsampleSpec):
                 x = _upsample(x, layer.stride)
+            elif isinstance(layer, ReorgSpec):
+                x = _reorg(x, layer.stride)
             elif isinstance(layer, RouteSpec):
                 srcs = [cache[j] for j in layer.layers]
                 x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
             elif isinstance(layer, ShortcutSpec):
                 x = cache[layer.index - 1] + cache[layer.from_layer]
-            elif isinstance(layer, YoloSpec):
+            elif isinstance(layer, (YoloSpec, RegionSpec)):
                 heads.append(x.astype(jnp.float32))
                 # x passes through unchanged (reference caches the raw map too)
             if layer.index in needed:

@@ -19,6 +19,9 @@ from ..config import ModelSpec, build_spec, parse_cfg_text
 # Anchor tables in net-input pixels (SURVEY.md §5.6 / §3.3, [B]-tier).
 YOLOV3_ANCHORS = "10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326"
 YOLOV3_TINY_ANCHORS = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
+# YOLOv2 [region] anchors are in grid-cell units (upstream yolov2.cfg, COCO).
+YOLOV2_ANCHORS = ("0.57273,0.677385, 1.87446,2.06253, 3.33843,5.47434, "
+                  "7.88282,3.52778, 9.77052,9.16828")
 
 
 def _net(width: int, height: int) -> list[str]:
@@ -178,10 +181,94 @@ def yolov3_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> s
     return "\n".join(lines)
 
 
+def _region(classes: int) -> list[str]:
+    return [
+        "[region]",
+        f"anchors = {YOLOV2_ANCHORS}",
+        "bias_match=1",
+        f"classes={classes}",
+        "coords=4",
+        "num=5",
+        "softmax=1",
+        "jitter=.3",
+        "rescore=1",
+        "",
+    ]
+
+
+def yolov2_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """YOLOv2: Darknet-19 backbone + reorg passthrough + [region] head.
+
+    Structure per the YOLO9000 paper (arXiv 1612.08242) / upstream yolov2.cfg:
+    conv/maxpool ladder with 1x1 squeezes (Darknet-19), then the passthrough
+    branch — route to the 512-ch 26x26 map, 1x1 conv to 64ch, [reorg]
+    stride=2 to 256ch 13x13, concat with the 1024-ch trunk — and a single
+    13x13 head of 5 anchors (845 detections @416).
+    """
+    filters_out = 5 * (5 + classes)
+    lines = _net(width, height)
+    layer = -1
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    emit(_conv(32, 3), 1)                           # 0
+    emit(["[maxpool]", "size=2", "stride=2", ""], 1)
+    emit(_conv(64, 3), 1)
+    emit(["[maxpool]", "size=2", "stride=2", ""], 1)
+    for ch in (128, 256):                            # squeeze triples
+        emit(_conv(ch, 3), 1)
+        emit(_conv(ch // 2, 1), 1)
+        emit(_conv(ch, 3), 1)
+        emit(["[maxpool]", "size=2", "stride=2", ""], 1)
+    for ch, squeezes in ((512, 2), (1024, 2)):       # squeeze quints
+        emit(_conv(ch, 3), 1)
+        for _ in range(squeezes):
+            emit(_conv(ch // 2, 1), 1)
+            emit(_conv(ch, 3), 1)
+        if ch == 512:
+            passthrough_src = layer                  # 512-ch 26x26 map
+            emit(["[maxpool]", "size=2", "stride=2", ""], 1)
+    assert passthrough_src == 16 and layer == 22     # upstream indices
+    emit(_conv(1024, 3), 1)                          # 23
+    emit(_conv(1024, 3), 1)                          # 24
+    # upstream writes this as the relative "-9"; emit the (equivalent)
+    # absolute index the generator already knows
+    emit([f"[route]", f"layers = {passthrough_src}", ""], 1)
+    emit(_conv(64, 1), 1)
+    emit(["[reorg]", "stride=2", ""], 1)             # 64ch 26x26 -> 256ch 13x13
+    emit(["[route]", "layers = -1, -4", ""], 1)      # 256 + 1024 = 1280
+    emit(_conv(1024, 3), 1)
+    emit(_conv(filters_out, 1, bn=False, activation="linear"), 1)
+    emit(_region(classes), 1)
+    assert layer == 31, f"should end at layer 31, got {layer}"
+    return "\n".join(lines)
+
+
+def yolov2_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """Tiny YOLOv2: 6 conv/maxpool pairs (incl. the size=2,stride=1 pool),
+    3 trailing convs, single [region] head — upstream yolov2-tiny.cfg."""
+    filters_out = 5 * (5 + classes)
+    lines = _net(width, height)
+    for ch in (16, 32, 64, 128, 256, 512):
+        lines += _conv(ch, 3)
+        stride = 1 if ch == 512 else 2
+        lines += ["[maxpool]", "size=2", f"stride={stride}", ""]
+    lines += _conv(1024, 3)
+    lines += _conv(512, 3)
+    lines += _conv(filters_out, 1, bn=False, activation="linear")
+    lines += _region(classes)
+    return "\n".join(lines)
+
+
 _GENERATORS = {
     "yolov3": yolov3_cfg,
     "yolov3-spp": yolov3_spp_cfg,
     "yolov3-tiny": yolov3_tiny_cfg,
+    "yolov2": yolov2_cfg,
+    "yolov2-tiny": yolov2_tiny_cfg,
 }
 
 

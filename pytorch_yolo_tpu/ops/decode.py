@@ -23,10 +23,23 @@ Two implementations:
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ModelSpec, YoloSpec, head_strides
+from ..config import ModelSpec, RegionSpec, YoloSpec, head_strides
+
+
+def head_decode_args(head: "YoloSpec | RegionSpec", stride: int):
+    """(anchors in net-input px, class activation) for any detection head.
+
+    [yolo] anchors are already in pixels with sigmoid class scores; [region]
+    anchors are in grid-cell units (scaled by the head stride here) with a
+    softmax over classes (raw logits when the cfg sets softmax=0)."""
+    if isinstance(head, RegionSpec):
+        anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
+        return anchors, ("softmax" if head.softmax else "linear")
+    return head.anchors, "sigmoid"
 
 
 def _grid_offsets(gy: int, gx: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,11 +54,13 @@ def decode_head(
     anchors: tuple[tuple[float, float], ...],
     stride: int,
     num_classes: int,
+    cls_act: str = "sigmoid",
 ) -> jnp.ndarray:
     """Decode one head's raw (N, Gy, Gx, A*(5+C)) map to (N, Gy*Gx*A, 5+C).
 
     Returns [bx, by, bw, bh, obj, p0..pC-1] with box centers/sizes in
-    net-input pixels, fp32.  Gy != Gx supported (rectangular net input)."""
+    net-input pixels, fp32.  Gy != Gx supported (rectangular net input).
+    ``cls_act``: "sigmoid" ([yolo]), "softmax" or "linear" ([region])."""
     n, gy, gx, ch = raw.shape
     a = len(anchors)
     c = num_classes
@@ -61,7 +76,12 @@ def decode_head(
     bw = pw[None, None, None, :] * jnp.exp(x[..., 2])
     bh = ph[None, None, None, :] * jnp.exp(x[..., 3])
     obj = lax.logistic(x[..., 4])
-    cls = lax.logistic(x[..., 5:])
+    if cls_act == "softmax":
+        cls = jax.nn.softmax(x[..., 5:], axis=-1)
+    elif cls_act == "linear":
+        cls = x[..., 5:]
+    else:
+        cls = lax.logistic(x[..., 5:])
 
     out = jnp.concatenate(
         [bx[..., None], by[..., None], bw[..., None], bh[..., None], obj[..., None], cls],
@@ -82,5 +102,6 @@ def decode_all(
     strides = head_strides(spec)
     outs = []
     for raw, head_spec, stride in zip(heads, spec.yolo_layers, strides):
-        outs.append(decode_head(raw, head_spec.anchors, stride, head_spec.classes))
+        anchors, cls_act = head_decode_args(head_spec, stride)
+        outs.append(decode_head(raw, anchors, stride, head_spec.classes, cls_act))
     return jnp.concatenate(outs, axis=1)

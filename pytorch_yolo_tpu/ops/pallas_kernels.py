@@ -49,7 +49,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
-                         stride: int, num_classes: int, score_mode: str):
+                         stride: int, num_classes: int, score_mode: str,
+                         cls_act: str = "sigmoid"):
     """One block of rows (cell-major, anchor-minor) of one head.
 
     raw_ref:   (1, block_rows, 5+C) raw logits
@@ -78,7 +79,13 @@ def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
     cls_id = jnp.min(
         jnp.where(cls_logit >= cls_best, col_f, float(num_classes)),
         axis=1, keepdims=True)
-    cls_score = jax.nn.sigmoid(cls_best)  # sigmoid is monotonic: max commutes
+    if cls_act == "softmax":  # [region]: p(best) = 1 / Σ exp(l_i - l_best)
+        cls_score = 1.0 / jnp.sum(
+            jnp.exp(cls_logit - cls_best), axis=1, keepdims=True)
+    elif cls_act == "linear":  # [region] softmax=0: raw logits
+        cls_score = cls_best
+    else:
+        cls_score = jax.nn.sigmoid(cls_best)  # monotonic: max commutes
 
     rank = obj if score_mode == "obj" else obj * cls_score
     half_w, half_h = bw * 0.5, bh * 0.5
@@ -94,11 +101,14 @@ def decode_score_head(
     num_classes: int,
     score_mode: str = "obj",
     interpret: bool | None = None,
+    cls_act: str = "sigmoid",
 ) -> jnp.ndarray:
     """(N, Gy, Gx, A*(5+C)) raw head -> (N, Gy*Gx*A, 8) fused decode+score rows.
 
     Columns: x1, y1, x2, y2 (net-input px corners), obj, cls_score,
-    cls_id (as f32), rank.  Gy != Gx supported (rectangular net input)."""
+    cls_id (as f32), rank.  Gy != Gx supported (rectangular net input).
+    ``anchors`` must be in net-input pixels (region heads: pre-scale by
+    stride — ops/decode.head_decode_args); ``cls_act`` as in decode_head."""
     n, gy, gx, ch = raw.shape
     a = len(anchors)
     attrs = 5 + num_classes
@@ -128,7 +138,7 @@ def decode_score_head(
 
     kernel = functools.partial(
         _decode_score_kernel, stride=stride,
-        num_classes=num_classes, score_mode=score_mode)
+        num_classes=num_classes, score_mode=score_mode, cls_act=cls_act)
     out = pl.pallas_call(
         kernel,
         grid=(n, padded // block_rows),
@@ -154,11 +164,12 @@ def decode_score_head_ref(
     stride: int,
     num_classes: int,
     score_mode: str = "obj",
+    cls_act: str = "sigmoid",
 ) -> jnp.ndarray:
     """jnp reference for :func:`decode_score_head` (same output contract)."""
     from .decode import decode_head
 
-    dec = decode_head(raw, anchors, stride, num_classes)  # (N, R, 5+C)
+    dec = decode_head(raw, anchors, stride, num_classes, cls_act)  # (N, R, 5+C)
     cx, cy, w, h = dec[..., 0], dec[..., 1], dec[..., 2], dec[..., 3]
     obj = dec[..., 4]
     cls_prob = dec[..., 5:]
@@ -180,12 +191,15 @@ def decode_score_all(
     """Fused decode+score over every head -> (N, D, 8)."""
     if use_pallas is None:
         use_pallas = _on_tpu()
+    from .decode import head_decode_args
+
     fn = decode_score_head if use_pallas else decode_score_head_ref
     strides = head_strides(spec)
-    outs = [
-        fn(raw, h.anchors, s, h.classes, score_mode=score_mode)
-        for raw, h, s in zip(heads, spec.yolo_layers, strides)
-    ]
+    outs = []
+    for raw, h, s in zip(heads, spec.yolo_layers, strides):
+        anchors, cls_act = head_decode_args(h, s)
+        outs.append(fn(raw, anchors, s, h.classes,
+                       score_mode=score_mode, cls_act=cls_act))
     return jnp.concatenate(outs, axis=1)
 
 

@@ -21,6 +21,8 @@ from pytorch_yolo_tpu.config import (
     ConvSpec,
     MaxPoolSpec,
     ModelSpec,
+    RegionSpec,
+    ReorgSpec,
     RouteSpec,
     ShortcutSpec,
     UpsampleSpec,
@@ -85,6 +87,27 @@ def raw_to_oracle(raw: dict[int, dict[str, np.ndarray]]) -> dict[int, dict[str, 
 
 
 @torch.no_grad()
+def reorg_oracle(x_nchw: np.ndarray, stride: int) -> np.ndarray:
+    """Darknet reorg_cpu (reorg_layer.c, forward=0 branch), literal index math.
+
+    out[b, k, j, i] (flat NCHW (C, H, W) order, later consumed as
+    (C*s², H/s, W/s)) = view[b, k % C', j*s + (k//C')//s, i*s + (k//C')%s]
+    where view is x's flat buffer as (C' = C/s², H*s, W*s).  Implemented with
+    the loop indices of the C code (vectorized), NOT reshape/transpose
+    algebra, so it is an independent check of models/darknet._reorg."""
+    n, c, h, w = x_nchw.shape
+    s = stride
+    oc = c // (s * s)
+    view = np.ascontiguousarray(x_nchw).reshape(n, oc, h * s, w * s)
+    k, j, i = np.meshgrid(np.arange(c), np.arange(h), np.arange(w), indexing="ij")
+    c2 = k % oc
+    offset = k // oc
+    w2 = i * s + offset % s
+    h2 = j * s + offset // s
+    out = view[:, c2, h2, w2]  # (n, c, h, w) gathered per the C loop
+    return out.reshape(n, c * s * s, h // s, w // s)
+
+
 def forward_oracle(
     spec: ModelSpec,
     params: dict[int, dict[str, np.ndarray]],
@@ -127,7 +150,9 @@ def forward_oracle(
             x = srcs[0] if len(srcs) == 1 else torch.cat(srcs, dim=1)
         elif isinstance(layer, ShortcutSpec):
             x = outputs[layer.index - 1] + outputs[layer.from_layer]
-        elif isinstance(layer, YoloSpec):
+        elif isinstance(layer, ReorgSpec):
+            x = torch.from_numpy(reorg_oracle(x.numpy(), layer.stride))
+        elif isinstance(layer, (YoloSpec, RegionSpec)):
             heads.append(x.clone())
         outputs[layer.index] = x
     if return_all:
@@ -145,6 +170,7 @@ def decode_oracle(
     anchors: tuple[tuple[float, float], ...],
     stride: int,
     num_classes: int,
+    cls_act: str = "sigmoid",
 ) -> np.ndarray:
     """NCHW raw map -> (N, Gy*Gx*A, 5+C), the reference view/transpose order."""
     n, ch, gy, gx = raw_nchw.shape
@@ -165,14 +191,25 @@ def decode_oracle(
     anc = torch.tensor(anchors, dtype=torch.float32)  # (A, 2)
     anc_tiled = anc.repeat(gy * gx, 1)[None]  # (1, Gy*Gx*A, 2)
     out[..., 2:4] = anc_tiled * torch.exp(p[..., 2:4])
-    out[..., 4:] = torch.sigmoid(p[..., 4:])
+    out[..., 4:5] = torch.sigmoid(p[..., 4:5])
+    if cls_act == "softmax":
+        out[..., 5:] = torch.softmax(p[..., 5:], dim=-1)
+    elif cls_act == "linear":
+        out[..., 5:] = p[..., 5:]
+    else:
+        out[..., 5:] = torch.sigmoid(p[..., 5:])
     return out.numpy()
 
 
 def decode_all_oracle(spec: ModelSpec, heads_nchw: list[np.ndarray], input_size: int) -> np.ndarray:
     outs = []
     for raw, head, stride in zip(heads_nchw, spec.yolo_layers, head_strides(spec)):
-        outs.append(decode_oracle(raw, head.anchors, stride, head.classes))
+        if isinstance(head, RegionSpec):  # grid-unit anchors, softmax classes
+            anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
+            cls_act = "softmax" if head.softmax else "linear"
+        else:
+            anchors, cls_act = head.anchors, "sigmoid"
+        outs.append(decode_oracle(raw, anchors, stride, head.classes, cls_act))
     return np.concatenate(outs, axis=1)
 
 

@@ -197,3 +197,32 @@ def test_rectangular_input_size(tiny_detector):
     assert (d.boxes[:, [0, 2]] <= 640).all() and (d.boxes[:, [1, 3]] <= 480).all()
     # detections count sanity: D = 3*(8*13 + 16*26)
     assert tiny_detector.spec.num_detections((256, 416)) == 3 * (8 * 13 + 16 * 26)
+
+
+def test_yolov2_end_to_end():
+    """[region]-headed models run through the full jitted pipeline."""
+    det = pyt.Detector.load("yolov2-tiny")
+    img = _image(11)
+    r = det.detect(img, conf=0.5)
+    assert (r.boxes >= 0).all()
+    assert (r.boxes[:, [0, 2]] <= 640).all() and (r.boxes[:, [1, 3]] <= 480).all()
+    assert (r.cls_id < 80).all()
+    # oracle-chain parity on the decoded candidates (pre-NMS), pinning the
+    # reorg + region softmax end-to-end through real conv weights
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import random_raw_params
+    from tests.oracle.torch_ref import (
+        decode_all_oracle, forward_oracle, letterbox_oracle, raw_to_oracle)
+
+    spec = model_spec("yolov2")
+    raw = random_raw_params(spec, seed=0)
+    det2 = pyt.Detector(spec, pyt.weights.fold_batchnorm(spec, raw))
+    x = letterbox_oracle(img, 416)
+    heads = forward_oracle(spec, raw_to_oracle(raw), x.transpose(2, 0, 1)[None])
+    dec = decode_all_oracle(spec, heads, 416)
+    res = det2.raw_result(img[None], size=416, conf=0.99)
+    # compare candidate counts at the same threshold
+    import numpy as _np
+    n_oracle = int((dec[0][:, 4] > 0.99).sum())
+    n_ours = int(_np.asarray(res.valid).sum())
+    assert abs(n_ours - min(n_oracle, 300)) <= 2, (n_ours, n_oracle)

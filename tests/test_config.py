@@ -180,3 +180,44 @@ def test_parser_fuzz_no_crashes():
             pass  # expected failure mode
         except (ValueError, KeyError) as e:
             raise AssertionError(f"trial {trial}: non-ConfigError {type(e).__name__}: {e}\n{text}")
+
+
+def test_yolov2_spec_structure():
+    from pytorch_yolo_tpu.config import RegionSpec, ReorgSpec
+
+    spec = model_spec("yolov2")
+    assert len(spec.layers) == 32  # upstream yolov2.cfg layer count
+    reorgs = [l for l in spec.layers if isinstance(l, ReorgSpec)]
+    assert len(reorgs) == 1 and reorgs[0].stride == 2
+    # reorg: 64ch 26x26 -> 256ch, concat with 1024 trunk -> 1280
+    r = reorgs[0]
+    assert spec.out_channels[r.index] == 256
+    assert spec.out_channels[r.index + 1] == 1280
+    head = spec.yolo_layers[0]
+    assert isinstance(head, RegionSpec)
+    assert head.num == len(head.anchors) == 5
+    assert head.classes == 80 and head.softmax
+    assert head.anchors[0] == (0.57273, 0.677385)  # grid-cell units
+    assert head_strides(spec) == (32,)
+    assert spec.num_detections(416) == 845  # 13*13*5
+    assert model_spec("yolov2-tiny").num_detections(608) == 1805  # 19*19*5
+
+
+def test_reorg_region_validation():
+    pre = "[net]\nwidth=32\nheight=32\n[convolutional]\nfilters=6\nsize=3\nstride=1\npad=1\nactivation=leaky\n"
+    with pytest.raises(ConfigError):  # 6 channels not divisible by 4
+        build_spec(parse_cfg_text(pre + "[reorg]\nstride=2\n"))
+    with pytest.raises(ConfigError):  # reverse unsupported
+        build_spec(parse_cfg_text(
+            pre.replace("filters=6", "filters=8") + "[reorg]\nstride=2\nreverse=1\n"))
+    with pytest.raises(ConfigError):  # num != anchor count
+        build_spec(parse_cfg_text(
+            pre + "[region]\nanchors=1,1, 2,2\nnum=5\nclasses=1\n"))
+    # valid minimal region: conv emits num*(5+classes) = 2*6 = 12 channels
+    ok = build_spec(parse_cfg_text(
+        pre.replace("filters=6", "filters=12")
+        + "[region]\nanchors=1,1, 2,2\nnum=2\nclasses=1\n"))
+    assert ok.num_detections(32) == 2 * 32 * 32  # stride-1 conv: 32x32 grid
+    with pytest.raises(ConfigError):  # channel mismatch with the conv
+        build_spec(parse_cfg_text(
+            pre + "[region]\nanchors=1,1, 2,2\nnum=2\nclasses=1\n"))

@@ -68,3 +68,23 @@ def test_decode_rectangular_grid():
     oracle = decode_oracle(raw.transpose(0, 3, 1, 2), ANCHORS, stride, classes)
     assert ours.shape == oracle.shape == (2, gy * gx * 3, 5 + classes)
     np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_region_decode_parity_and_semantics():
+    """[region] head: grid-unit anchors scaled by stride, softmax classes."""
+    spec = model_spec("yolov2-tiny")
+    head = spec.yolo_layers[0]
+    rng = np.random.default_rng(5)
+    raw = rng.normal(0, 1, size=(2, 13, 13, 425)).astype(np.float32)
+    ours = np.asarray(decode_all((jnp.asarray(raw),), spec, 416))
+    oracle = decode_all_oracle(spec, [raw.transpose(0, 3, 1, 2)], 416)
+    assert ours.shape == oracle.shape == (2, 845, 85)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)
+    # softmax: class columns are a distribution
+    np.testing.assert_allclose(ours[..., 5:].sum(-1), 1.0, rtol=1e-5)
+    # anchor scaling: zero logits -> bw == anchor_w * stride exactly
+    zero = np.zeros_like(raw[:1])
+    d = np.asarray(decode_all((jnp.asarray(zero),), spec, 416))[0].reshape(13, 13, 5, 85)
+    for a_i, (aw, ah) in enumerate(head.anchors):
+        np.testing.assert_allclose(d[0, 0, a_i, 2], aw * 32, rtol=1e-6)
+        np.testing.assert_allclose(d[0, 0, a_i, 3], ah * 32, rtol=1e-6)

@@ -98,3 +98,42 @@ def test_spp_forward_parity():
         assert hj.shape == ht_nhwc.shape
         close = np.isclose(np.asarray(hj), ht_nhwc, rtol=1e-3, atol=1e-3)
         assert close.mean() > 0.998
+
+
+def test_yolov2_forward_parity():
+    """YOLOv2 (Darknet-19 + reorg passthrough + region head) vs torch oracle.
+
+    The oracle's reorg is a literal translation of Darknet's reorg_cpu index
+    loop, so agreement here pins the framework's reshape/transpose-algebra
+    _reorg to the real Darknet channel shuffle."""
+    spec, heads_jax, heads_torch = _run_both("yolov2", 416)
+    assert len(heads_jax) == 1
+    hj, ht = np.asarray(heads_jax[0]), heads_torch[0].transpose(0, 2, 3, 1)
+    assert hj.shape == ht.shape == (1, 13, 13, 425)
+    close = np.isclose(hj, ht, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.998
+
+
+def test_yolov2_tiny_forward_parity():
+    spec, heads_jax, heads_torch = _run_both("yolov2-tiny", 416)
+    assert len(heads_jax) == 1
+    hj, ht = np.asarray(heads_jax[0]), heads_torch[0].transpose(0, 2, 3, 1)
+    assert hj.shape == ht.shape == (1, 13, 13, 425)
+    np.testing.assert_allclose(hj, ht, rtol=1e-3, atol=1e-3)
+
+
+def test_reorg_is_darknet_not_space_to_depth():
+    """_reorg must match Darknet's shuffle, which differs from a plain
+    space-to-depth whenever C > s² — guard against the classic port bug."""
+    from pytorch_yolo_tpu.models.darknet import _reorg
+    from tests.oracle.torch_ref import reorg_oracle
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 6, 64)).astype(np.float32)  # NHWC
+    ours = np.asarray(_reorg(jnp.asarray(x), 2))
+    want = reorg_oracle(x.transpose(0, 3, 1, 2), 2).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, want)
+
+    # plain space-to-depth (what naive ports implement) must NOT match
+    t = x.reshape(2, 4, 2, 3, 2, 64).transpose(0, 1, 3, 2, 4, 5).reshape(2, 4, 3, 256)
+    assert not np.array_equal(ours, t)

@@ -115,3 +115,24 @@ def test_decode_score_rectangular_grid():
     ref = np.asarray(decode_score_head_ref(jnp.asarray(raw), ANCHORS, 32, 80))
     assert ours.shape == (1, 8 * 13 * 3, 8)
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_decode_score_region_kernel_matches_ref():
+    """Softmax cls_act path ([region]) in the Pallas kernel == jnp ref."""
+    from pytorch_yolo_tpu.config import head_strides
+    from pytorch_yolo_tpu.ops.decode import head_decode_args
+
+    spec = model_spec("yolov2-tiny")
+    head, stride = spec.yolo_layers[0], head_strides(spec)[0]
+    anchors, cls_act = head_decode_args(head, stride)
+    assert cls_act == "softmax" and anchors[0] == (0.57273 * 32, 0.677385 * 32)
+    rng = np.random.default_rng(7)
+    raw = jnp.asarray(rng.normal(0, 2, size=(2, 13, 13, 425)).astype(np.float32))
+    ours = np.asarray(decode_score_head(raw, anchors, stride, 80, cls_act=cls_act))
+    ref = np.asarray(decode_score_head_ref(raw, anchors, stride, 80, cls_act=cls_act))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    assert (ours[..., 6] == ref[..., 6]).all()  # argmax ids identical
+    # region decode through decode_score_all (model-level dispatch)
+    both = [np.asarray(decode_score_all((raw,), spec, 416, use_pallas=p))
+            for p in (True, False)]
+    np.testing.assert_allclose(both[0], both[1], rtol=1e-5, atol=1e-6)
