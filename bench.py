@@ -131,7 +131,12 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     from pytorch_yolo_tpu.api import Detector
 
     log(f"devices: {jax.devices()}")
-    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype), precision=precision)
+    dtype_label = compute_dtype
+    quant = None
+    if compute_dtype == "int8":  # W8A8 dynamic quant (ops/quant.py)
+        quant, compute_dtype = "w8a8", "float32"
+    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
+                        precision=precision, quant=quant)
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
@@ -153,7 +158,7 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     np.asarray(res.boxes)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
-    log(f"{model}@{size} batch={batch} dtype={compute_dtype}/{precision}: "
+    log(f"{model}@{size} batch={batch} dtype={dtype_label}/{precision}: "
         f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
     return ips
 
@@ -227,7 +232,7 @@ def main() -> None:
         _watchdog(args.timeout * 4, payload=fallback)
         try:
             for dtype, prec in (("float32", "highest"), ("float32", "high"),
-                                ("bfloat16", "default")):
+                                ("bfloat16", "default"), ("int8", "default")):
                 for batch in (8, 16, 32):
                     try:
                         measure_tpu(args.model, args.size, batch, args.iters,

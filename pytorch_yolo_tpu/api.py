@@ -95,6 +95,7 @@ class Detector:
         cfg_text: str | None = None,
         use_pallas: bool | None = None,
         interp: str = "linear",
+        quant: str | None = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -102,7 +103,14 @@ class Detector:
         self.score_mode = score_mode
         self.use_pallas = use_pallas
         self.interp = interp
-        self._forward = build_forward(spec, compute_dtype=compute_dtype, precision=precision)
+        if quant is not None:
+            # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
+            # re-quantized here, once, at construction.
+            from .ops.quant import quantize_params
+
+            params = quantize_params(spec, params)
+        self._forward = build_forward(spec, compute_dtype=compute_dtype,
+                                      precision=precision, quant=quant)
         self.mesh = mesh
 
         cdtype = jnp.dtype(compute_dtype)
@@ -141,6 +149,7 @@ class Detector:
         compute_dtype=jnp.float32,
         precision: str = "highest",
         interp: str = "linear",
+        quant: str | None = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -161,7 +170,7 @@ class Detector:
             params = fold_batchnorm(spec, random_raw_params(spec))
         return cls(spec, params, class_names=load_classes(names),
                    mesh=mesh, compute_dtype=compute_dtype, precision=precision,
-                   cfg_text=cfg_text, interp=interp)
+                   cfg_text=cfg_text, interp=interp, quant=quant)
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads
@@ -170,6 +179,10 @@ class Detector:
 
         if self.cfg_text is None:
             raise ValueError("detector has no cfg text to checkpoint")
+        if any("wq" in p for p in self.params.values()):
+            raise ValueError(
+                "cannot checkpoint an int8-quantized detector; checkpoints are "
+                "fp32 canonical — load without quant, checkpoint, then requantize")
         host_params = jax.tree_util.tree_map(np.asarray, self.params)
         save_checkpoint(path, self.cfg_text, host_params, self.class_names)
 

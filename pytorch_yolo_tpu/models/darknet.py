@@ -135,6 +135,7 @@ def build_forward(
     spec: ModelSpec,
     compute_dtype: Any = jnp.float32,
     precision: str | lax.Precision = "highest",
+    quant: str | None = None,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -147,7 +148,14 @@ def build_forward(
     the mandated bit-faithful parity (BASELINE.json:5).  We therefore default
     to HIGHEST (true fp32) and expose the fast path explicitly:
     ``compute_dtype=jnp.bfloat16`` + ``precision="default"`` is the MXU
-    speed mode for benchmarks where reduced precision is acceptable."""
+    speed mode for benchmarks where reduced precision is acceptable.
+
+    ``quant="w8a8"`` runs every conv whose params carry int8 weights on the
+    int8 MXU path (ops/quant.py — 2x bf16 MAC rate on v5e); params must come
+    from :func:`..ops.quant.quantize_params`.  Layers without a ``"wq"``
+    entry (``skip_layers``) fall back to the fp path above."""
+    if quant not in (None, "w8a8"):
+        raise ValueError(f"unsupported quant mode {quant!r}")
     needed = _needed_outputs(spec)
     layers = spec.layers
     dtype = jnp.dtype(compute_dtype)
@@ -168,7 +176,12 @@ def build_forward(
         for layer in layers:
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
-                x = _conv(x, p["w"], p["b"], layer, dtype, precision)
+                if quant is not None and "wq" in p:
+                    from ..ops.quant import quantized_conv
+
+                    x = quantized_conv(x, p["wq"], p["ws"], p["b"], layer)
+                else:
+                    x = _conv(x, p["w"], p["b"], layer, dtype, precision)
             elif isinstance(layer, MaxPoolSpec):
                 x = _maxpool(x, layer)
             elif isinstance(layer, UpsampleSpec):

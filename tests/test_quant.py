@@ -1,0 +1,102 @@
+"""W8A8 dynamic-range quantization (ops/quant.py) — numerics + API.
+
+Beyond-reference serving feature (PERF.md roadmap #7): correctness here means
+(a) the quantizer's reconstruction obeys the symmetric-int8 error bound,
+(b) the quantized forward tracks the fp32 forward within the drift expected
+of 8-bit dynamic ranging, and (c) the Detector integration round-trips.
+Real-weight mAP validation is deferred until real assets exist (SURVEY.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_yolo_tpu as pyt
+from pytorch_yolo_tpu.config import ConvSpec
+from pytorch_yolo_tpu.models.darknet import build_forward
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.ops.quant import quantize_params, quantized_conv
+from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    spec = model_spec("yolov3-tiny")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=3))
+    return spec, {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                  for k, v in params.items()}
+
+
+def test_quantizer_reconstruction_bound(tiny):
+    spec, params = tiny
+    qp = quantize_params(spec, params)
+    for layer in spec.layers:
+        if not isinstance(layer, ConvSpec):
+            continue
+        q = qp[layer.index]
+        assert q["wq"].dtype == jnp.int8
+        assert (np.asarray(q["ws"]) > 0).all()
+        # symmetric per-channel quant: |w - wq*ws| <= ws/2 everywhere
+        err = np.abs(params[layer.index]["w"]
+                     - np.asarray(q["wq"], np.float32) * np.asarray(q["ws"]))
+        assert (err <= np.asarray(q["ws"]) / 2 + 1e-7).all()
+
+
+def test_forward_drift_bounded(tiny):
+    spec, params = tiny
+    jparams = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+               for k, v in params.items()}
+    qp = quantize_params(spec, params)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 416, 416, 3), np.float32))
+    heads_fp = build_forward(spec)(jparams, x)
+    heads_q = build_forward(spec, quant="w8a8")(qp, x)
+    for f, q in zip(heads_fp, heads_q):
+        f, q = np.asarray(f), np.asarray(q)
+        rel = np.abs(f - q) / (np.abs(f) + 1.0)
+        # measured ~0.024 mean / ~0.10 p99 with synthetic weights; a broken
+        # scale or layout moves these by orders of magnitude
+        assert rel.mean() < 0.06, rel.mean()
+        assert np.quantile(rel, 0.99) < 0.25
+
+
+def test_skip_layers_keep_fp_path(tiny):
+    spec, params = tiny
+    conv_idx = [l.index for l in spec.layers if isinstance(l, ConvSpec)]
+    qp = quantize_params(spec, params, skip_layers=set(conv_idx))
+    assert all("wq" not in qp[i] for i in conv_idx)
+    x = jnp.asarray(np.random.default_rng(2).random((1, 416, 416, 3), np.float32))
+    jparams = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+               for k, v in params.items()}
+    # all-skipped quant forward is bit-identical to the fp forward
+    a = build_forward(spec)(jparams, x)
+    b = build_forward(spec, quant="w8a8")(
+        {k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in qp.items()}, x)
+    for f, q in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(q))
+
+
+def test_detector_quant_end_to_end(tiny):
+    spec, params = tiny
+    det_fp = pyt.Detector(spec, params)
+    det_q = pyt.Detector(spec, params, quant="w8a8")
+    img = np.random.default_rng(0).integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    a = det_fp.detect(img, conf=0.5)
+    b = det_q.detect(img, conf=0.5)
+    assert abs(len(a) - len(b)) <= max(3, int(0.05 * len(a)))
+    # the kept sets overlap: most int8 boxes sit on an fp box
+    if len(a) and len(b):
+        d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1).min(1)
+        # synthetic weights put many candidates right at the conf boundary,
+        # so 8-bit drift legitimately swaps some keeps (measured ~88% within
+        # 8 px); a broken quant path drops this to ~0
+        assert (d < 12.0).mean() > 0.8  # px in original coords
+
+
+def test_quant_checkpoint_guard_and_bad_mode(tiny):
+    spec, params = tiny
+    det_q = pyt.Detector(spec, params, quant="w8a8",
+                         cfg_text="unused-but-required")
+    with pytest.raises(ValueError, match="quantized"):
+        det_q.save_checkpoint("/tmp/should_not_exist.ckpt")
+    with pytest.raises(ValueError, match="quant"):
+        build_forward(spec, quant="int4")
