@@ -56,6 +56,14 @@ class Detection(NamedTuple):
         return int(self.boxes.shape[0])
 
 
+def _transfer_dtype(transfer: str) -> str:
+    """Host-path H2D mode: "f32" normalized floats, "u8" rounded bytes."""
+    try:
+        return {"f32": "float32", "u8": "uint8"}[transfer]
+    except KeyError:
+        raise ValueError(f"transfer must be 'f32' or 'u8', got {transfer!r}") from None
+
+
 def _normalize_channels(images: np.ndarray) -> np.ndarray:
     """Coerce the trailing channel axis to 3 (grayscale/BGRA inputs)."""
     if images.shape[-1] == 1:  # grayscale -> replicate channels
@@ -103,9 +111,12 @@ class Detector:
         self.score_mode = score_mode
         self.use_pallas = use_pallas
         self.interp = interp
+        if quant is None and any("wq" in p for p in params.values()):
+            quant = "w8a8"  # params arrived pre-quantized
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
-            # re-quantized here, once, at construction.
+            # quantized here, once, at construction (no-op per layer if
+            # already int8).
             from .ops.quant import quantize_params
 
             params = quantize_params(spec, params)
@@ -240,6 +251,8 @@ class Detector:
             # compiled pipeline serves every source resolution (COCO-style
             # heterogeneous datasets; SURVEY.md §7 P6 shape-bucket note).
             def pipeline(params, x: jnp.ndarray, geos: jnp.ndarray) -> NMSResult:
+                if x.dtype == jnp.uint8:  # uint8-transfer mode: /255 on-device
+                    x = x.astype(jnp.float32) / np.float32(255.0)
                 heads = forward(params, x)
                 res = postprocess(tuple(heads))
                 return res._replace(
@@ -376,9 +389,11 @@ class Detector:
     ) -> NMSResult:
         """Run the shape-agnostic pipeline on host-letterboxed inputs.
 
-        ``x``: (N, S, S, 3) float32 from :func:`letterbox_host`;
-        ``geos``: (N, 5) float32 [scale, pad_x, pad_y, orig_w, orig_h].
-        One compiled program serves every source resolution."""
+        ``x``: (N, S, S, 3) from :func:`letterbox_host` — float32 in [0, 1],
+        or uint8 0..255 (``out_dtype="uint8"``; normalized on-device, 4x
+        less H2D traffic); ``geos``: (N, 5) float32 [scale, pad_x, pad_y,
+        orig_w, orig_h].  One compiled program serves every source
+        resolution (jit re-traces once per input dtype)."""
         key = _PipelineKey(batch=x.shape[0], orig_h=0, orig_w=0, size=size,
                            conf=conf, iou=iou, max_det=max_det, bgr=False,
                            prepared=True)
@@ -393,6 +408,7 @@ class Detector:
         max_det: int = 300,
         bgr: bool = True,
         batch: int = 8,
+        transfer: str = "f32",
     ) -> list[Detection]:
         """Detect over a list of differently-sized images with true batching.
 
@@ -400,8 +416,10 @@ class Detector:
         the host, then stack the uniform letterboxed tensors into batches —
         SURVEY.md §3.2/§2.1 #9) on the shape-agnostic prepared pipeline.
         Chunks are double-buffered: host letterboxing of chunk t+1 overlaps
-        device compute of chunk t."""
+        device compute of chunk t.  ``transfer="u8"`` ships rounded uint8
+        letterboxed canvases (4x less H2D; <=0.5/255 per-pixel rounding)."""
         rsize = self._resolve_size(size)
+        out_dtype = _transfer_dtype(transfer)
         out: list[Detection] = []
         pending: "tuple[NMSResult, int] | None" = None
 
@@ -409,7 +427,7 @@ class Detector:
             lbs, geos = [], []
             for im in chunk:
                 lb, g = letterbox_host(_normalize_channels(im), rsize, bgr=bgr,
-                                       method=self.interp)
+                                       method=self.interp, out_dtype=out_dtype)
                 lbs.append(lb)
                 geos.append([g.scale, g.pad_x, g.pad_y, g.orig_w, g.orig_h])
             x = np.stack(lbs)
@@ -442,6 +460,7 @@ class Detector:
         bgr: bool = True,
         depth: int = 2,
         host_preproc: bool = False,
+        transfer: str = "f32",
     ):
         """Pipelined detection over an iterable of (H, W, 3) uint8 images.
 
@@ -461,8 +480,9 @@ class Detector:
 
         def dispatch(img: np.ndarray):
             if host_preproc:
-                lb, geo = letterbox_host(_normalize_channels(img), rsize, bgr=bgr,
-                                         method=self.interp)
+                lb, geo = letterbox_host(
+                    _normalize_channels(img), rsize, bgr=bgr, method=self.interp,
+                    out_dtype=_transfer_dtype(transfer))
                 geos = np.asarray(
                     [[geo.scale, geo.pad_x, geo.pad_y, geo.orig_w, geo.orig_h]],
                     dtype=np.float32)

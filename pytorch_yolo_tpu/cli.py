@@ -209,10 +209,12 @@ def cmd_evaluate(args) -> int:
             yield img
 
     # detect_stream overlaps cv2 decode of image t+1 with device compute of t;
-    # host_preproc: COCO sizes are heterogeneous — one compiled pipeline
+    # host_preproc: COCO sizes are heterogeneous — one compiled pipeline;
+    # u8 transfer: cv2-faithful rounded uint8 canvases, 4x less H2D
     for i, d in enumerate(det.detect_stream(
             image_gen(), size=args.reso, conf=args.confidence,
-            iou=args.nms_thresh, max_det=args.max_det, host_preproc=True)):
+            iou=args.nms_thresh, max_det=args.max_det, host_preproc=True,
+            transfer="u8")):
         sample = kept_samples[i]
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
         evals.append(ImageEval(

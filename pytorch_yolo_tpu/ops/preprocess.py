@@ -112,6 +112,7 @@ def letterbox_host(
     bgr: bool = True,
     fill: float = 128.0,
     method: str = "linear",
+    out_dtype: str = "float32",
 ) -> tuple["np.ndarray", LetterboxGeometry]:
     """Host-side letterbox: (H0, W0, 3) uint8 -> ((Sh, Sw, 3) f32 [0,1], geometry).
 
@@ -119,7 +120,12 @@ def letterbox_host(
     no antialias) but on the CPU — used when source shapes are heterogeneous
     (e.g. COCO evaluation) so ONE compiled pipeline serves every image
     instead of one per unique source shape.  Uses OpenCV's C++ resize when
-    available, else a numpy fallback."""
+    available, else a numpy fallback.
+
+    ``out_dtype="uint8"`` returns the rounded 0..255 canvas instead (the
+    /255 then happens on-device in :meth:`api.Detector.detect_prepared`) —
+    quarter the H2D bytes, and closer to the reference's cv2-on-uint8
+    semantics (rounding error <= 0.5/255 per pixel; PERF.md roadmap #1)."""
     import numpy as np
 
     h0, w0 = img.shape[:2]
@@ -139,6 +145,8 @@ def letterbox_host(
         resized = np.clip(resized, 0.0, 255.0)
     canvas = np.full((sh, sw, 3), fill, dtype=np.float32)
     canvas[geo.pad_y : geo.pad_y + geo.new_h, geo.pad_x : geo.pad_x + geo.new_w] = resized
+    if out_dtype == "uint8":
+        return np.clip(np.round(canvas), 0, 255).astype(np.uint8), geo
     return canvas / 255.0, geo
 
 

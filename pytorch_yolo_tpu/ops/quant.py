@@ -51,7 +51,7 @@ def quantize_params(spec: ModelSpec, params: dict,
         if not isinstance(layer, ConvSpec):
             continue
         p = params[layer.index]
-        if layer.index in skip_layers:
+        if layer.index in skip_layers or "wq" in p:  # skip or already int8
             out[layer.index] = dict(p)
             continue
         w = jnp.asarray(p["w"], jnp.float32)

@@ -93,3 +93,21 @@ def test_submesh_of_four():
     imgs = np.random.default_rng(2).integers(0, 256, size=(6, 256, 256, 3), dtype=np.uint8)
     res = det.detect_batch(imgs, size=256, conf=0.5)  # pads 6 -> 8
     assert len(res) == 6
+
+
+def test_quantized_detector_on_mesh(mesh):
+    """W8A8 int8 convs partition under GSPMD like the fp path: mesh results
+    match single-device results exactly (same program, sharded batch)."""
+    det_single = pyt.Detector.load("yolov3-tiny", quant="w8a8")
+    det_mesh = pyt.Detector(det_single.spec,
+                            {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                             for k, v in det_single.params.items()},
+                            mesh=mesh)  # pre-quantized params auto-detected
+    imgs = np.stack([np.random.default_rng(i).integers(0, 256, (480, 640, 3),
+                                                       dtype=np.uint8)
+                     for i in range(8)])
+    r_single = det_single.detect_batch(imgs, conf=0.4)
+    r_mesh = det_mesh.detect_batch(imgs, conf=0.4)
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
