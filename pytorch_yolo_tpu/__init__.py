@@ -10,6 +10,7 @@ mesh.
 from .api import Detection, Detector, detect, load
 from .config import ModelSpec, load_model_spec, parse_cfg_file, parse_cfg_text, build_spec
 from .models.zoo import available_models, model_spec, write_cfg
+from .utils.compile_cache import enable_compilation_cache
 from .weights import load_weights, write_weights_file, fold_batchnorm, random_raw_params
 
 __version__ = "0.1.0"
@@ -31,5 +32,6 @@ __all__ = [
     "write_weights_file",
     "fold_batchnorm",
     "random_raw_params",
+    "enable_compilation_cache",
     "__version__",
 ]

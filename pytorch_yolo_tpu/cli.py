@@ -47,6 +47,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 dynamic int8 convs (2x MXU rate on v5e; "
+                        "calibration-free, see ops/quant.py)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/pytorch_yolo_tpu/xla)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--interp", default="linear", choices=("linear", "cubic"),
@@ -66,9 +72,15 @@ def _build_detector(args) -> Detector:
     source = args.cfg or args.model
     if source is None:
         raise SystemExit("one of --model / --cfg is required")
+    if not getattr(args, "no_compile_cache", False):
+        from .utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
     kw = {"interp": getattr(args, "interp", "linear")}
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
+    if getattr(args, "int8", False):
+        kw.update(quant="w8a8")
     det = Detector.load(source, args.weights, names=args.names, **kw)
     if args.weights is None:
         log.warning("no --weights given: using synthetic random weights")
