@@ -120,6 +120,9 @@ class Detector:
             from .ops.quant import quantize_params
 
             params = quantize_params(spec, params)
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.precision = precision
+        self.quant = quant
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
                                       precision=precision, quant=quant)
         self.mesh = mesh

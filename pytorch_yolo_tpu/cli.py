@@ -273,6 +273,24 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-stage forward cost via truncated-prefix timing (PERF.md #4)."""
+    import json as _json
+
+    from .utils.profiling import profile_stages
+
+    det = _build_detector(args)
+    rows = profile_stages(det, size=args.reso, batch=args.batch,
+                          iters=args.iters)
+    print(_json.dumps(rows))
+    width = max(len(r["stage"]) for r in rows)
+    for r in rows:
+        print(f"  layer {r['layer']:>3}  {r['stage']:<{width}}  "
+              f"cum {r['cum_ms']:8.2f} ms  delta {r['delta_ms']:8.2f} ms",
+              file=sys.stderr)
+    return 0
+
+
 def cmd_export_cfg(args) -> int:
     from .models.zoo import write_cfg
 
@@ -318,6 +336,12 @@ def main(argv=None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--cfg", default=None)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("profile", help="per-stage forward cost profile")
+    _add_common(p)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("export-cfg", help="emit a zoo model as a Darknet .cfg")
     p.add_argument("--model", required=True)

@@ -136,6 +136,7 @@ def build_forward(
     compute_dtype: Any = jnp.float32,
     precision: str | lax.Precision = "highest",
     quant: str | None = None,
+    stop_at: int | None = None,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -153,7 +154,13 @@ def build_forward(
     ``quant="w8a8"`` runs every conv whose params carry int8 weights on the
     int8 MXU path (ops/quant.py — 2x bf16 MAC rate on v5e); params must come
     from :func:`..ops.quant.quantize_params`.  Layers without a ``"wq"``
-    entry (``skip_layers``) fall back to the fp path above."""
+    entry (``skip_layers``) fall back to the fp path above.
+
+    ``stop_at=k`` builds a *truncated* forward running layers 0..k and
+    returning ``(output_of_layer_k,)`` — the stage profiler's primitive
+    (utils/profiling.profile_stages): timing cumulative prefixes isolates
+    per-stage cost without in-graph instrumentation, which the tunneled
+    runtime's profiler cannot provide (PERF.md roadmap #4)."""
     if quant not in (None, "w8a8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
     needed = _needed_outputs(spec)
@@ -173,7 +180,7 @@ def build_forward(
     def apply(params: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
-        for layer in layers:
+        for layer in layers[: len(layers) if stop_at is None else stop_at + 1]:
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
                 if quant is not None and "wq" in p:
@@ -198,6 +205,8 @@ def build_forward(
                 # x passes through unchanged (reference caches the raw map too)
             if layer.index in needed:
                 cache[layer.index] = x
+        if stop_at is not None:
+            return (x,)  # truncated run: the cut layer's output
         return tuple(heads)
 
     return apply

@@ -75,3 +75,78 @@ class PipelineStats:
                     f"  p95 {m['p95_ms']:7.2f}  n={m['count']}"
                 )
         return "\n".join(lines)
+
+
+def stage_cut_points(spec) -> list[tuple[int, str]]:
+    """(layer_index, label) after each spatial-resolution change + each head.
+
+    These are the natural cost boundaries of a Darknet backbone: every
+    stride-changing layer starts a new stage whose per-stage time the
+    profiler isolates by differencing cumulative-prefix timings."""
+    from ..config import (ConvSpec, MaxPoolSpec, RegionSpec, ReorgSpec,
+                          UpsampleSpec, YoloSpec)
+
+    cuts: list[tuple[int, str]] = []
+    stride = 1
+    last_stage_start = 0
+    for layer in spec.layers:
+        changed = (isinstance(layer, (ConvSpec, MaxPoolSpec, ReorgSpec))
+                   and layer.stride > 1) or isinstance(layer, UpsampleSpec)
+        if changed and layer.index > 0:
+            cuts.append((layer.index - 1, f"stride{stride} stage"))
+            last_stage_start = layer.index
+        if isinstance(layer, (ConvSpec, MaxPoolSpec, ReorgSpec)):
+            stride *= layer.stride
+        elif isinstance(layer, UpsampleSpec):
+            stride //= layer.stride
+        if isinstance(layer, (YoloSpec, RegionSpec)):
+            cuts.append((layer.index, f"head@{layer.index}"))
+            last_stage_start = layer.index + 1
+    if not cuts or cuts[-1][0] != len(spec.layers) - 1:
+        cuts.append((len(spec.layers) - 1, "tail"))
+    # dedupe while keeping order (a head can directly precede a downsample)
+    seen: set[int] = set()
+    return [(i, n) for i, n in cuts if not (i in seen or seen.add(i))]
+
+
+def profile_stages(detector, size: int = 416, batch: int = 8,
+                   iters: int = 10, cuts: "list[tuple[int, str]] | None" = None,
+                   ) -> list[dict]:
+    """Per-stage forward cost via cumulative-prefix timing (PERF.md #4).
+
+    Compiles one truncated forward per cut point (bounded: ~#downsamples +
+    #heads) and reports ``delta_ms`` = cost of the layers between consecutive
+    cuts.  Every timing ends in a real D2H fetch — ``jax.block_until_ready``
+    is not a fence on the tunneled TPU runtime (CLAUDE.md).  Negative deltas
+    (XLA fuses across cut boundaries, so prefix cost is not strictly
+    additive) are reported as measured; treat small ones as noise."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.darknet import build_forward
+
+    spec = detector.spec
+    cuts = cuts or stage_cut_points(spec)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, size, size, 3)).astype(np.float32))
+    rows: list[dict] = []
+    prev_ms = 0.0
+    # mirror the detector's serving configuration (dtype/precision/quant)
+    kw = dict(
+        compute_dtype=getattr(detector, "compute_dtype", jnp.float32),
+        precision=getattr(detector, "precision", "highest"),
+        quant=getattr(detector, "quant", None),
+    )
+    for idx, label in cuts:
+        fn = __import__("jax").jit(build_forward(spec, stop_at=idx, **kw))
+        np.asarray(fn(detector.params, x)[0])  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(detector.params, x)
+        np.asarray(out[0])
+        cum_ms = (time.perf_counter() - t0) / iters * 1e3
+        rows.append({"layer": idx, "stage": label,
+                     "cum_ms": round(cum_ms, 3),
+                     "delta_ms": round(cum_ms - prev_ms, 3)})
+        prev_ms = cum_ms
+    return rows

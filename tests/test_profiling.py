@@ -38,3 +38,30 @@ def test_pipeline_stats_nested_stages():
             pass
     assert p.stages["a"].summary()["count"] == 3
     assert p.stages["b"].summary()["count"] == 3
+
+
+def test_stage_cut_points_structure():
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.utils.profiling import stage_cut_points
+
+    spec = model_spec("yolov3-tiny")
+    cuts = stage_cut_points(spec)
+    idxs = [i for i, _ in cuts]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+    assert idxs[-1] == len(spec.layers) - 1  # ends at the last layer
+    assert any("head" in n for _, n in cuts)
+    # yolov2's reorg counts as a stride change
+    v2 = stage_cut_points(model_spec("yolov2"))
+    assert any(i == 26 for i, _ in v2)  # cut right before the reorg at 27
+
+
+def test_profile_stages_runs():
+    import pytorch_yolo_tpu as pyt
+    from pytorch_yolo_tpu.utils.profiling import profile_stages
+
+    det = pyt.Detector.load("yolov3-tiny")
+    rows = profile_stages(det, size=320, batch=1, iters=1)
+    assert len(rows) >= 5
+    assert all(r["cum_ms"] > 0 for r in rows)
+    # deltas telescope to the final cumulative (each rounded to 1e-3 ms)
+    assert abs(sum(r["delta_ms"] for r in rows) - rows[-1]["cum_ms"]) < 1e-2
