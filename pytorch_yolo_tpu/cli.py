@@ -273,6 +273,41 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP detection server with micro-batching (serve.py)."""
+    from .serve import make_server
+
+    det = _build_detector(args)
+    # precompile every pow2 batch bucket of the prepared (uint8) pipeline so
+    # the first client request never waits on a compile
+    import numpy as np
+
+    b = 1
+    while True:
+        x = np.zeros((b, args.reso, args.reso, 3), np.uint8)
+        g = np.tile([[1.0, 0, 0, 1, 1]], (b, 1)).astype(np.float32)
+        det.detect_prepared(x, g, args.reso, conf=args.confidence,
+                            iou=args.nms_thresh, max_det=args.max_det)
+        if b >= args.batch:
+            break
+        b = min(b * 2, args.batch)
+    log.info("prepared pipelines warmed for batch buckets up to %d", args.batch)
+    server = make_server(det, host=args.host, port=args.port, size=args.reso,
+                         conf=args.confidence, iou=args.nms_thresh,
+                         max_det=args.max_det, batch_max=args.batch,
+                         batch_timeout_ms=args.batch_timeout_ms)
+    host, port = server.server_address[:2]
+    log.info("serving on http://%s:%s  (POST /detect, GET /healthz /stats)",
+             host, port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.batcher.close()
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-stage forward cost via truncated-prefix timing (PERF.md #4)."""
     import json as _json
@@ -336,6 +371,16 @@ def main(argv=None) -> int:
     p.add_argument("--model", default=None)
     p.add_argument("--cfg", default=None)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("serve", help="HTTP detection server (micro-batched)")
+    _add_common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch", type=int, default=8,
+                   help="max images coalesced into one device batch")
+    p.add_argument("--batch-timeout-ms", type=float, default=5.0,
+                   help="max wait to fill a batch before dispatching")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("profile", help="per-stage forward cost profile")
     _add_common(p)
