@@ -170,3 +170,18 @@ def test_info_command(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "8,858,734" in out and "detections @416: 2535" in out
+
+
+def test_module_runner_entry():
+    """`python -m pytorch_yolo_tpu` works (package __main__)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_yolo_tpu", "info", "--model", "yolov3-tiny"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "detections @416: 2535" in out.stdout
