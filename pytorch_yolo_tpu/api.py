@@ -128,6 +128,14 @@ class Detector:
         self.mesh = mesh
 
         cdtype = jnp.dtype(compute_dtype)
+        # Checkpoints are fp32-canonical: when kernels are about to be
+        # pre-cast to a reduced compute dtype, keep an fp32 host copy so
+        # save_checkpoint never silently persists bf16 weights.
+        self._fp32_params = None
+        if cdtype != jnp.float32 and quant is None:
+            self._fp32_params = {
+                k: {kk: np.asarray(vv, dtype=np.float32) for kk, vv in v.items()}
+                for k, v in params.items()}
 
         def place(path_key, a):
             # Pre-cast conv kernels to the compute dtype at load time: in bf16
@@ -197,7 +205,16 @@ class Detector:
             raise ValueError(
                 "cannot checkpoint an int8-quantized detector; checkpoints are "
                 "fp32 canonical — load without quant, checkpoint, then requantize")
-        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        if self._fp32_params is not None:
+            host_params = self._fp32_params
+        else:
+            host_params = jax.tree_util.tree_map(np.asarray, self.params)
+            bad = sorted(k for k, p in host_params.items()
+                         if any(np.asarray(a).dtype != np.float32 for a in p.values()))
+            if bad:
+                raise ValueError(
+                    f"cannot checkpoint non-fp32 params (layers {bad[:4]}...); "
+                    "checkpoints are fp32 canonical")
         save_checkpoint(path, self.cfg_text, host_params, self.class_names)
 
     @classmethod

@@ -231,7 +231,8 @@ def cmd_evaluate(args) -> int:
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
         evals.append(ImageEval(
             det_boxes=d.boxes, det_scores=score, det_classes=d.cls_id,
-            gt_boxes=sample.gt_boxes, gt_classes=sample.gt_classes))
+            gt_boxes=sample.gt_boxes, gt_classes=sample.gt_classes,
+            gt_crowd=sample.gt_crowd))
         stats.count()
     if skipped:
         log.warning("skipped %d unreadable images", len(skipped))

@@ -27,6 +27,7 @@ class Sample:
     height: int
     gt_boxes: np.ndarray   # (G, 4) xyxy pixels
     gt_classes: np.ndarray  # (G,) dense 0..C-1
+    gt_crowd: np.ndarray   # (G,) bool iscrowd flags (ignore regions for eval)
 
 
 def category_id_map(categories: list[dict]) -> dict[int, int]:
@@ -39,9 +40,13 @@ def load_coco(
     annotations_json: str,
     images_dir: str,
     max_images: int | None = None,
-    skip_crowd: bool = True,
+    skip_crowd: bool = False,
 ) -> Iterator[Sample]:
-    """Yield Samples for every image in a COCO instances JSON."""
+    """Yield Samples for every image in a COCO instances JSON.
+
+    Crowd annotations are kept and flagged via ``Sample.gt_crowd`` (the
+    evaluator treats them as ignore regions, per pycocotools); pass
+    ``skip_crowd=True`` to drop them entirely."""
     with open(annotations_json, "r", encoding="utf-8") as f:
         coco = json.load(f)
     cat_map = category_id_map(coco.get("categories", []))
@@ -62,9 +67,11 @@ def load_coco(
                               xywh[:, 0] + xywh[:, 2], xywh[:, 1] + xywh[:, 3]], axis=1)
             classes = np.asarray([cat_map[a["category_id"]] for a in anns],
                                  dtype=np.int64)
+            crowd = np.asarray([bool(a.get("iscrowd")) for a in anns], dtype=bool)
         else:
             boxes = np.zeros((0, 4), dtype=np.float64)
             classes = np.zeros((0,), dtype=np.int64)
+            crowd = np.zeros((0,), dtype=bool)
         yield Sample(
             image_id=im["id"],
             path=os.path.join(images_dir, im["file_name"]),
@@ -72,4 +79,5 @@ def load_coco(
             height=im["height"],
             gt_boxes=boxes,
             gt_classes=classes,
+            gt_crowd=crowd,
         )

@@ -34,9 +34,20 @@ class LayerDescStruct(ctypes.Structure):
     ]
 
 
+def _is_fresh(so: str) -> bool:
+    """True if the built .so is at least as new as its source file."""
+    try:
+        return os.path.getmtime(so) >= os.path.getmtime(_SRC)
+    except OSError:
+        return False
+
+
 def ensure_built(force: bool = False) -> str | None:
-    """Compile the native library if needed; returns its path or None."""
-    if os.path.exists(_SO) and not force:
+    """Compile the native library if needed; returns its path or None.
+
+    Rebuilds when the .so is missing OR older than weights_loader.cpp, so an
+    edited source can never be silently shadowed by a stale binary."""
+    if os.path.exists(_SO) and _is_fresh(_SO) and not force:
         return _SO
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
@@ -55,7 +66,10 @@ def load_library(build: bool = True) -> "ctypes.CDLL | None":
     with _lock:
         if _lib is not None:
             return _lib or None
-        path = _SO if os.path.exists(_SO) else (ensure_built() if build else None)
+        if os.path.exists(_SO) and _is_fresh(_SO):
+            path = _SO
+        else:
+            path = ensure_built() if build else None
         if path is None:
             _lib = False
             return None

@@ -33,6 +33,10 @@ import numpy as np
 
 from .ops.preprocess import letterbox_host
 
+# Reject request bodies above this size before reading them (a single huge
+# Content-Length must not be able to exhaust server memory).
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
 
 def _pow2_bucket(n: int, cap: int) -> int:
     b = 1
@@ -182,9 +186,17 @@ def make_server(detector, host: str = "127.0.0.1", port: int = 0,
             if self.path != "/detect":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "bad Content-Length"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body: send image bytes"})
+                return
+            if length > MAX_BODY_BYTES:
+                self._json(413, {"error": f"body {length} bytes exceeds cap "
+                                          f"{MAX_BODY_BYTES}"})
                 return
             raw = self.rfile.read(length)
             buf = np.frombuffer(raw, dtype=np.uint8)

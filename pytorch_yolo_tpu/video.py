@@ -125,11 +125,25 @@ def run_video(
                 break
     finally:
         stop.set()
-        try:
-            while True:
-                frame_q.get_nowait()
-        except queue.Empty:
-            pass
+        # Unblock the decoder (it may be waiting in frame_q.put), then join it
+        # before cap.release(): concurrent read()/release() on a
+        # cv2.VideoCapture is not thread-safe.
+        deadline = 5.0
+        import time as _time
+
+        t_end = _time.monotonic() + deadline
+        while t.is_alive() and _time.monotonic() < t_end:
+            try:
+                while True:
+                    frame_q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
+        if t.is_alive():  # stuck inside cap.read(); releasing is the lesser evil
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "decoder thread did not exit within %.0fs; releasing capture", deadline)
         cap.release()
 
     if decode_errors:

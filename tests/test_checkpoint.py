@@ -44,6 +44,27 @@ def test_checkpoint_version_guard(tmp_path):
         load_checkpoint(ckpt)
 
 
+def test_checkpoint_from_bf16_detector_stays_fp32(tmp_path):
+    """ADVICE.md r1 (medium): a bf16-compute Detector must not silently
+    persist bf16 kernels — checkpoints are fp32 canonical."""
+    import jax.numpy as jnp
+
+    det32 = pyt.Detector.load("yolov3-tiny")
+    det16 = pyt.Detector(det32.spec,
+                         {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                          for k, v in det32.params.items()},
+                         cfg_text=det32.cfg_text, compute_dtype=jnp.bfloat16)
+    # live kernels really are bf16 (the risky precondition)
+    assert det16.params[0]["w"].dtype == jnp.bfloat16
+    ckpt = str(tmp_path / "ckpt16")
+    det16.save_checkpoint(ckpt)
+    det3 = pyt.Detector.from_checkpoint(ckpt)
+    for idx in det32.params:
+        assert np.asarray(det3.params[idx]["w"]).dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(det3.params[idx]["w"]),
+                                      np.asarray(det32.params[idx]["w"]))
+
+
 def test_detector_without_cfg_text_refuses(tmp_path):
     spec = pyt.model_spec("yolov3-tiny")
     params = pyt.fold_batchnorm(spec, pyt.random_raw_params(spec))

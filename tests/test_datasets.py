@@ -48,10 +48,12 @@ def test_load_coco(mini_coco):
     assert s0.image_id == 100 and s0.gt_boxes.shape == (2, 4)
     np.testing.assert_allclose(s0.gt_boxes[0], [10, 20, 60, 80])  # xywh->xyxy
     assert s0.gt_classes.tolist() == [1, 2]  # dense ids for cats 3, 18
-    # crowd annotation skipped
-    assert samples[1].gt_boxes.shape == (0, 4)
-    crowd = list(load_coco(ann, imgs, skip_crowd=False))
-    assert crowd[1].gt_boxes.shape == (1, 4)
+    assert s0.gt_crowd.tolist() == [False, False]
+    # crowd annotation kept but flagged (evaluator treats as ignore region)
+    assert samples[1].gt_boxes.shape == (1, 4)
+    assert samples[1].gt_crowd.tolist() == [True]
+    dropped = list(load_coco(ann, imgs, skip_crowd=True))
+    assert dropped[1].gt_boxes.shape == (0, 4)
 
 
 def test_load_coco_max_images(mini_coco):

@@ -83,6 +83,63 @@ def test_evaluate_coco_structure():
     assert len(r["per_threshold"]) == 10
 
 
+def test_best_unmatched_gt_preferred():
+    # Detection A argmax-overlaps GT1 (already taken by a higher-score det)
+    # but also clears the threshold on unmatched GT2 — pycocotools matches
+    # the best *unmatched* GT, so both detections are TPs.
+    gt1 = [0, 0, 10, 10]
+    gt2 = [4, 0, 14, 10]           # overlaps gt1
+    det1 = gt1                      # score .9 -> takes gt1 exactly
+    det2 = [1, 0, 11, 10]           # argmax IoU is gt1, but gt2 IoU ~ 0.5
+    im = _img([(det1, 0.9, 0), (det2, 0.8, 0)], [(gt1, 0), (gt2, 0)])
+    r = evaluate([im], iou_thresh=0.4)
+    assert r["mAP"] == 1.0
+
+
+def test_crowd_gt_is_ignore_region():
+    crowd_box = [0, 0, 100, 100]
+    # detection entirely inside the crowd region, no non-crowd GT of class 0
+    im = ImageEval(
+        det_boxes=np.asarray([[10, 10, 20, 20]], np.float64),
+        det_scores=np.asarray([0.9]),
+        det_classes=np.asarray([0]),
+        gt_boxes=np.asarray([crowd_box, BOX_SHIFT], np.float64),
+        gt_classes=np.asarray([0, 0]),
+        gt_crowd=np.asarray([True, False]),
+    )
+    r = evaluate([im])
+    # the crowd-matched det is neither TP nor FP; the non-crowd GT is missed
+    assert r["per_class"][0] == 0.0
+    # add a det on the real GT: AP must be 1.0 (crowd det didn't become a FP
+    # ranked above it)
+    im2 = ImageEval(
+        det_boxes=np.asarray([[10, 10, 20, 20], BOX_SHIFT], np.float64),
+        det_scores=np.asarray([0.95, 0.9]),
+        det_classes=np.asarray([0, 0]),
+        gt_boxes=np.asarray([crowd_box, BOX_SHIFT], np.float64),
+        gt_classes=np.asarray([0, 0]),
+        gt_crowd=np.asarray([True, False]),
+    )
+    assert evaluate([im2])["per_class"][0] == 1.0
+    # crowd GTs don't count toward recall's denominator
+    assert evaluate([im2])["mAP"] == 1.0
+
+
+def test_crowd_uses_intersection_over_det_area():
+    # small det fully inside a huge crowd box: IoU tiny, IoF = 1.0 -> ignored
+    im = ImageEval(
+        det_boxes=np.asarray([[40, 40, 42, 42]], np.float64),
+        det_scores=np.asarray([0.9]),
+        det_classes=np.asarray([0]),
+        gt_boxes=np.asarray([[0, 0, 1000, 1000]], np.float64),
+        gt_classes=np.asarray([0]),
+        gt_crowd=np.asarray([True]),
+    )
+    r = evaluate([im])
+    # only GT is crowd -> class has no countable GT -> excluded (nan)
+    assert 0 not in r["per_class"]
+
+
 def test_multi_image_aggregation():
     ims = [
         _img([(BOX, 0.9, 0)], [(BOX, 0)]),

@@ -105,3 +105,12 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(_url(srv, "/nope"), timeout=30)
     assert e.value.code == 404
+    # oversized Content-Length is rejected with 413 BEFORE the body is read
+    from pytorch_yolo_tpu.serve import MAX_BODY_BYTES
+
+    req = urllib.request.Request(_url(srv, "/detect"), data=b"x", method="POST",
+                                 headers={"Content-Length": str(MAX_BODY_BYTES + 1)})
+    with pytest.raises((urllib.error.HTTPError, ConnectionError, OSError)) as e:
+        urllib.request.urlopen(req, timeout=30)
+    if isinstance(e.value, urllib.error.HTTPError):
+        assert e.value.code == 413
