@@ -104,6 +104,7 @@ class Detector:
         use_pallas: bool | None = None,
         interp: str = "linear",
         quant: str | None = None,
+        quant_skip_layers: "object" = "heads",
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -116,10 +117,11 @@ class Detector:
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if
-            # already int8).
+            # already int8).  quant_skip_layers="heads" (default) keeps the
+            # detection-head output convs in fp — the int8 mAP-killer.
             from .ops.quant import quantize_params
 
-            params = quantize_params(spec, params)
+            params = quantize_params(spec, params, skip_layers=quant_skip_layers)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.precision = precision
         self.quant = quant
@@ -172,6 +174,7 @@ class Detector:
         precision: str = "highest",
         interp: str = "linear",
         quant: str | None = None,
+        quant_skip_layers: "object" = "heads",
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -192,7 +195,8 @@ class Detector:
             params = fold_batchnorm(spec, random_raw_params(spec))
         return cls(spec, params, class_names=load_classes(names),
                    mesh=mesh, compute_dtype=compute_dtype, precision=precision,
-                   cfg_text=cfg_text, interp=interp, quant=quant)
+                   cfg_text=cfg_text, interp=interp, quant=quant,
+                   quant_skip_layers=quant_skip_layers)
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads

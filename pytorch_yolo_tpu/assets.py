@@ -1,0 +1,175 @@
+"""Driver-asset discovery: pretrained weights + COCO data.
+
+The mAP-parity mandate (BASELINE.json:2) is blocked on assets this container
+does not ship: no network, no pretrained ``.weights``, no COCO val images
+(SURVEY.md §4.2.5, VERDICT r1 missing #3).  This module makes the blockage
+maximally visible and cheap to resolve: it scans documented locations for
+the expected files and prints the exact one-command evaluation to run the
+moment they appear.
+
+Expected assets (sizes are the public Darknet releases):
+
+===================  ============  =======================================
+file                 approx size   what it is
+===================  ============  =======================================
+yolov3.weights       248 007 048   full YOLOv3-416 COCO weights
+yolov3-tiny.weights   35 434 956   tiny-YOLOv3 COCO weights
+yolov3-spp.weights   252 732 052   YOLOv3-SPP COCO weights
+yolov2.weights       203 934 260   YOLOv2-608 COCO weights
+instances_val2017.json     ~19 MB  COCO 2017 val annotations
+val2017/                  5k jpgs  COCO 2017 val images
+===================  ============  =======================================
+
+Search order: ``$PYTORCH_YOLO_ASSETS`` (colon-separated), then the
+conventional container drop points.  Weight files are validated by their
+Darknet header (version ints), not just the name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import struct
+
+# Public Darknet release sizes in bytes (exact); matching is name-first with
+# a +-2% size sanity band, so re-exported files still match.
+EXPECTED_WEIGHTS = {
+    "yolov3.weights": 248_007_048,
+    "yolov3-tiny.weights": 35_434_956,
+    "yolov3-spp.weights": 252_732_052,
+    "yolov2.weights": 203_934_260,
+    "yolov2-tiny.weights": 44_948_600,
+}
+
+ANNOTATION_NAMES = ("instances_val2017.json", "instances_val2014.json")
+
+SEARCH_DIRS = (
+    "/root/assets",
+    "/root/data",
+    "/root/weights",
+    "/root/coco",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "assets"),
+)
+
+
+@dataclasses.dataclass
+class FoundWeights:
+    path: str
+    size: int
+    expected_name: str | None   # EXPECTED_WEIGHTS key if name+size match
+    header_ok: bool             # Darknet version header sanity
+
+
+@dataclasses.dataclass
+class AssetReport:
+    weights: list[FoundWeights]
+    annotations: list[str]       # COCO instances json paths
+    image_dirs: list[str]        # directories that look like COCO val images
+
+    @property
+    def ready(self) -> bool:
+        return bool(self.weights and self.annotations and self.image_dirs)
+
+
+def _search_dirs() -> list[str]:
+    env = os.environ.get("PYTORCH_YOLO_ASSETS", "")
+    dirs = [d for d in env.split(os.pathsep) if d]
+    dirs += list(SEARCH_DIRS)
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def check_weights_header(path: str) -> bool:
+    """True if the file starts with a plausible Darknet header
+    (major/minor/revision int32s; SURVEY.md §5.4)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+        if len(head) < 12:
+            return False
+        major, minor, revision = struct.unpack("<3i", head)
+    except OSError:
+        return False
+    return 0 <= major <= 10 and 0 <= minor <= 100 and 0 <= revision <= 10_000
+
+
+def _classify_weights(path: str) -> FoundWeights:
+    size = os.path.getsize(path)
+    name = os.path.basename(path)
+    expected = None
+    exp = EXPECTED_WEIGHTS.get(name)
+    if exp is not None and abs(size - exp) <= 0.02 * exp:
+        expected = name
+    return FoundWeights(path=path, size=size, expected_name=expected,
+                        header_ok=check_weights_header(path))
+
+
+def _looks_like_image_dir(d: str) -> bool:
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return False
+    imgs = [n for n in names[:200] if n.lower().endswith((".jpg", ".jpeg", ".png"))]
+    return len(imgs) >= 5
+
+
+def scan_assets(extra_dirs: list[str] | None = None) -> AssetReport:
+    """Scan the documented locations for weights + COCO annotations/images."""
+    dirs = list(extra_dirs or []) + _search_dirs()
+    weights: list[FoundWeights] = []
+    annotations: list[str] = []
+    image_dirs: list[str] = []
+    seen: set[str] = set()
+    for d in dirs:
+        d = os.path.abspath(d)
+        if d in seen:
+            continue
+        seen.add(d)
+        for p in sorted(glob.glob(os.path.join(d, "**", "*.weights"),
+                                  recursive=True)):
+            weights.append(_classify_weights(p))
+        for ann in ANNOTATION_NAMES:
+            for p in sorted(glob.glob(os.path.join(d, "**", ann), recursive=True)):
+                annotations.append(p)
+        for sub in ("val2017", "val2014", "images"):
+            for p in sorted(glob.glob(os.path.join(d, "**", sub), recursive=True)):
+                if _looks_like_image_dir(p):
+                    image_dirs.append(p)
+        if _looks_like_image_dir(d):
+            image_dirs.append(d)
+    return AssetReport(weights=weights, annotations=annotations,
+                       image_dirs=image_dirs)
+
+
+def report_text(report: AssetReport) -> str:
+    """Human-readable asset report + the exact parity command when ready."""
+    lines = ["asset scan (set PYTORCH_YOLO_ASSETS or drop files in "
+             + ", ".join(SEARCH_DIRS[:4]) + "):"]
+    if report.weights:
+        for w in report.weights:
+            tag = w.expected_name or "unrecognized"
+            hdr = "header ok" if w.header_ok else "BAD HEADER"
+            lines.append(f"  weights: {w.path} ({w.size:,} B, {tag}, {hdr})")
+    else:
+        lines.append("  weights: NONE (expected e.g. yolov3.weights, "
+                     f"{EXPECTED_WEIGHTS['yolov3.weights']:,} B)")
+    lines.append("  annotations: " + (", ".join(report.annotations) or
+                                      "NONE (expected instances_val2017.json)"))
+    lines.append("  image dirs: " + (", ".join(report.image_dirs) or
+                                     "NONE (expected val2017/ with jpgs)"))
+    if report.ready:
+        w = next((x for x in report.weights if x.expected_name == "yolov3.weights"),
+                 report.weights[0])
+        model = (w.expected_name or "yolov3.weights").removesuffix(".weights")
+        lines.append("")
+        lines.append("READY — run mAP parity now:")
+        lines.append(
+            f"  python -m pytorch_yolo_tpu evaluate --model {model} "
+            f"--weights {w.path} --annotations {report.annotations[0]} "
+            f"--images {report.image_dirs[0]} --reso 416 --confidence 0.005 "
+            f"--nms_thresh 0.45 --score obj*cls")
+    else:
+        lines.append("  -> mAP parity (BASELINE.json:2) remains blocked on the "
+                     "missing items above")
+    return "\n".join(lines)

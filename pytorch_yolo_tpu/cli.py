@@ -50,6 +50,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--int8", action="store_true",
                    help="W8A8 dynamic int8 convs (2x MXU rate on v5e; "
                         "calibration-free, see ops/quant.py)")
+    p.add_argument("--int8-skip-heads", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="keep the detection-head output convs in fp under "
+                        "--int8 (default on: quantizing them is the classic "
+                        "mAP-killer)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache "
                         "(~/.cache/pytorch_yolo_tpu/xla)")
@@ -80,10 +85,25 @@ def _build_detector(args) -> Detector:
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
     if getattr(args, "int8", False):
-        kw.update(quant="w8a8")
-    det = Detector.load(source, args.weights, names=args.names, **kw)
-    if args.weights is None:
-        log.warning("no --weights given: using synthetic random weights")
+        kw.update(quant="w8a8",
+                  quant_skip_layers=(
+                      "heads" if getattr(args, "int8_skip_heads", True) else ()))
+    weights = args.weights
+    if weights is None and not source.endswith(".cfg"):
+        # auto-adopt driver-provided assets the moment they appear
+        from .assets import scan_assets
+
+        want = f"{source}.weights"
+        hit = next((w for w in scan_assets().weights
+                    if w.expected_name == want and w.header_ok), None)
+        if hit is not None:
+            weights = hit.path
+            log.info("using discovered weights asset: %s", weights)
+    det = Detector.load(source, weights, names=args.names, **kw)
+    if weights is None:
+        log.warning("no --weights given and no asset found: using synthetic "
+                    "random weights (run `pytorch_yolo_tpu assets` for the "
+                    "expected drop points)")
     return det
 
 
@@ -202,6 +222,20 @@ def cmd_evaluate(args) -> int:
 
     from .datasets import load_coco
     from .eval import ImageEval, evaluate, evaluate_coco
+
+    if args.images is None or args.annotations is None:
+        from .assets import report_text, scan_assets
+
+        report = scan_assets()
+        if args.annotations is None and report.annotations:
+            args.annotations = report.annotations[0]
+            log.info("using discovered annotations: %s", args.annotations)
+        if args.images is None and report.image_dirs:
+            args.images = report.image_dirs[0]
+            log.info("using discovered image dir: %s", args.images)
+        if args.images is None or args.annotations is None:
+            print(report_text(report), file=sys.stderr)
+            raise SystemExit("evaluate needs --images/--annotations (no asset found)")
 
     det = _build_detector(args)
     evals = []
@@ -327,6 +361,17 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_assets(args) -> int:
+    """Scan for driver-provided weights/COCO assets (VERDICT r1 #6).
+
+    rc 0 when everything the mAP-parity run needs is present, 1 otherwise."""
+    from .assets import report_text, scan_assets
+
+    report = scan_assets(extra_dirs=args.dirs or None)
+    print(report_text(report))
+    return 0 if report.ready else 1
+
+
 def cmd_export_cfg(args) -> int:
     from .models.zoo import write_cfg
 
@@ -361,8 +406,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("evaluate", help="COCO mAP evaluation")
     _add_common(p)
-    p.add_argument("--images", required=True, help="COCO images directory")
-    p.add_argument("--annotations", required=True, help="instances_*.json path")
+    p.add_argument("--images", default=None,
+                   help="COCO images directory (default: discovered asset)")
+    p.add_argument("--annotations", default=None,
+                   help="instances_*.json path (default: discovered asset)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--score", default="obj", choices=("obj", "obj*cls"),
                    help="detection score used for PR ranking")
@@ -388,6 +435,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("assets", help="scan for driver-provided weights/COCO "
+                                      "assets and print the parity command")
+    p.add_argument("dirs", nargs="*", help="extra directories to scan")
+    p.set_defaults(fn=cmd_assets)
 
     p = sub.add_parser("export-cfg", help="emit a zoo model as a Darknet .cfg")
     p.add_argument("--model", required=True)

@@ -21,9 +21,12 @@ Scheme (calibration-free):
   (maxpool -inf pad, route, shortcut, upsample) stays in fp32, so only the
   MXU operands are quantized and the Darknet layer semantics are untouched.
 
-First/last layer sensitivity: ``skip_layers`` lets callers keep e.g. the
-detection-head output convs in fp — the default quantizes everything, and
-the parity test bounds the resulting drift.
+First/last layer sensitivity: the detection-head output convs (the conv
+feeding each ``[yolo]``/``[region]`` layer) are the classic int8 mAP-killer
+— their outputs are raw box/score logits with no downstream layers to absorb
+quantization noise.  ``skip_layers`` therefore defaults to ``"heads"``
+(keep those convs fp); pass an explicit container (possibly empty) to
+override.
 """
 
 from __future__ import annotations
@@ -33,19 +36,31 @@ from typing import Container
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ConvSpec, ModelSpec
+from ..config import ConvSpec, ModelSpec, RegionSpec, YoloSpec
 
 _QEPS = 1e-12  # guards all-zero tensors (sx would otherwise be 0)
 
 
+def head_conv_indices(spec: ModelSpec) -> frozenset[int]:
+    """Conv layers whose output feeds a detection head directly (the conv
+    immediately preceding each ``[yolo]``/``[region]`` block)."""
+    head_idx = {l.index for l in spec.layers
+                if isinstance(l, (YoloSpec, RegionSpec))}
+    return frozenset(l.index for l in spec.layers
+                     if isinstance(l, ConvSpec) and (l.index + 1) in head_idx)
+
+
 def quantize_params(spec: ModelSpec, params: dict,
-                    skip_layers: Container[int] = ()) -> dict:
+                    skip_layers: "Container[int] | str" = "heads") -> dict:
     """BN-folded fp32 params -> per-layer int8 weights + scales.
 
     Input pytree: ``{idx: {"w": HWIO f32, "b": (O,) f32}}`` (the framework's
     canonical folded layout).  Output adds, for quantized layers,
     ``{"wq": HWIO int8, "ws": (O,) f32}`` and drops ``"w"``; layers in
-    ``skip_layers`` keep their fp32 kernel untouched."""
+    ``skip_layers`` keep their fp32 kernel untouched.  The default
+    ``"heads"`` skips the detection-head output convs (see module doc)."""
+    if skip_layers == "heads":
+        skip_layers = head_conv_indices(spec)
     out = {}
     for layer in spec.layers:
         if not isinstance(layer, ConvSpec):

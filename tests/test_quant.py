@@ -15,7 +15,8 @@ import pytorch_yolo_tpu as pyt
 from pytorch_yolo_tpu.config import ConvSpec
 from pytorch_yolo_tpu.models.darknet import build_forward
 from pytorch_yolo_tpu.models.zoo import model_spec
-from pytorch_yolo_tpu.ops.quant import quantize_params, quantized_conv
+from pytorch_yolo_tpu.ops.quant import (head_conv_indices, quantize_params,
+                                        quantized_conv)
 from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
 
 
@@ -29,7 +30,7 @@ def tiny():
 
 def test_quantizer_reconstruction_bound(tiny):
     spec, params = tiny
-    qp = quantize_params(spec, params)
+    qp = quantize_params(spec, params, skip_layers=())
     for layer in spec.layers:
         if not isinstance(layer, ConvSpec):
             continue
@@ -42,21 +43,44 @@ def test_quantizer_reconstruction_bound(tiny):
         assert (err <= np.asarray(q["ws"]) / 2 + 1e-7).all()
 
 
+def test_head_conv_indices():
+    for name, n_heads in (("yolov3-tiny", 2), ("yolov3", 3), ("yolov2", 1)):
+        spec = model_spec(name)
+        idx = head_conv_indices(spec)
+        assert len(idx) == n_heads
+        for i in idx:
+            layer = spec.layers[i]
+            assert isinstance(layer, ConvSpec)
+            assert layer.activation == "linear" and not layer.batch_normalize
+
+
 def test_forward_drift_bounded(tiny):
     spec, params = tiny
     jparams = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
                for k, v in params.items()}
-    qp = quantize_params(spec, params)
     x = jnp.asarray(np.random.default_rng(1).random((1, 416, 416, 3), np.float32))
     heads_fp = build_forward(spec)(jparams, x)
-    heads_q = build_forward(spec, quant="w8a8")(qp, x)
-    for f, q in zip(heads_fp, heads_q):
-        f, q = np.asarray(f), np.asarray(q)
-        rel = np.abs(f - q) / (np.abs(f) + 1.0)
-        # measured ~0.024 mean / ~0.10 p99 with synthetic weights; a broken
-        # scale or layout moves these by orders of magnitude
-        assert rel.mean() < 0.06, rel.mean()
-        assert np.quantile(rel, 0.99) < 0.25
+
+    def drift(skip):
+        qp = quantize_params(spec, params, skip_layers=skip)
+        heads_q = build_forward(spec, quant="w8a8")(qp, x)
+        means, p99s = [], []
+        for f, q in zip(heads_fp, heads_q):
+            f, q = np.asarray(f), np.asarray(q)
+            rel = np.abs(f - q) / (np.abs(f) + 1.0)
+            means.append(rel.mean())
+            p99s.append(np.quantile(rel, 0.99))
+        return max(means), max(p99s)
+
+    # all-quantized: measured ~0.024 mean / ~0.10 p99 with synthetic weights;
+    # a broken scale or layout moves these by orders of magnitude
+    m_all, p_all = drift(())
+    assert m_all < 0.06, m_all
+    assert p_all < 0.25, p_all
+    # default (heads kept fp) must drift strictly less at the outputs
+    m_heads, p_heads = drift("heads")
+    assert m_heads < m_all
+    assert p_heads <= p_all
 
 
 def test_skip_layers_keep_fp_path(tiny):
