@@ -163,6 +163,32 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     return ips
 
 
+def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> None:
+    """Box drift of each fast serving mode vs fp32/HIGHEST (VERDICT r1 #3).
+
+    Logged rows feed the serving-default decision in PERF.md."""
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.utils.drift import measure_mode_drift
+
+    ref = Detector.load(model)
+    host = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+            for k, v in ref.params.items()}
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+            for _ in range(n_imgs)]
+    modes = {
+        "fp32/high": Detector(ref.spec, host, precision="high"),
+        "bf16": Detector(ref.spec, host, compute_dtype=jnp.bfloat16,
+                         precision="default"),
+        "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
+    }
+    for name, det in modes.items():
+        s = measure_mode_drift(ref, det, imgs, size=size)
+        log(f"drift {model}@{size} {name} vs fp32/highest: {s.row()}")
+
+
 def measure_multires(model: str, iters: int, dtype: str, precision: str) -> None:
     """Steady-state img/s at 320/416/608 (BASELINE.json:10 shape buckets)."""
     import jax.numpy as jnp
@@ -246,6 +272,10 @@ def main() -> None:
                         fn(*fnargs, dtype, prec)
                     except Exception as e:
                         log(f"{fn.__name__} {dtype} failed: {e}")
+            try:
+                measure_drift(args.model, args.size)
+            except Exception as e:
+                log(f"measure_drift failed: {e}")
         except BenchTimeout as e:
             log(f"WATCHDOG during sweep: {e}")
         finally:

@@ -379,13 +379,26 @@ class Detector:
 
     def raw_result(self, images: np.ndarray, size: int | None = None, conf: float = 0.5,
                    iou: float = 0.4, max_det: int = 300, bgr: bool = True) -> NMSResult:
-        """Device-resident fixed-shape result (no host trim) — for pipelining."""
+        """Device-resident fixed-shape result (no host trim) — for pipelining.
+
+        Single-device only: unlike :meth:`detect_batch` there is no mesh
+        padding (the caller owns batch geometry for double-buffering), so a
+        mesh-bound Detector whose batch doesn't divide the mesh raises."""
+        if images.ndim != 4:
+            raise ValueError(f"expected (N, H, W, C) uint8 batch, got {images.shape}")
+        images = _normalize_channels(np.ascontiguousarray(images))
+        if self.mesh is not None and images.shape[0] % self.mesh.devices.size:
+            raise ValueError(
+                f"raw_result batch {images.shape[0]} must divide the mesh size "
+                f"{self.mesh.devices.size}; use detect_batch for auto-padding")
         size = self._resolve_size(size)
         key = _PipelineKey(
             batch=images.shape[0], orig_h=images.shape[1], orig_w=images.shape[2],
             size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr,
         )
-        return self._pipeline(key)(self.params, jnp.asarray(images))
+        dev_imgs = (jax.device_put(images, batch_sharding(self.mesh))
+                    if self.mesh is not None else jnp.asarray(images))
+        return self._pipeline(key)(self.params, dev_imgs)
 
     @staticmethod
     def _trim(res: NMSResult, n: int) -> list[Detection]:

@@ -1,0 +1,77 @@
+"""Box-drift measurement between two serving configurations.
+
+Answers "is the fast mode safe to serve?" with data (VERDICT r1 weak #3/#4):
+given two Detectors (e.g. fp32/HIGHEST vs bf16, or fp32 vs W8A8 int8), run
+both on the same images and quantify how far the kept detection sets and box
+coordinates diverge *after* NMS — the quantity that actually moves mAP.
+
+Metrics per image pair, aggregated over the set:
+
+* ``set_agreement`` — |matched pairs| / max(|A|, |B|) where a pair is a
+  reference box and its nearest candidate box within ``match_px``.
+* ``box_p99_px`` — 99th percentile of the max-coordinate deviation among
+  matched pairs (pixels, original image coordinates).
+* ``score_p99`` — 99th percentile of |score_a − score_b| among matched pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DriftStats:
+    images: int
+    ref_dets: int
+    alt_dets: int
+    set_agreement: float      # fraction of dets matched across modes
+    box_mean_px: float
+    box_p99_px: float
+    score_p99: float
+
+    def row(self) -> str:
+        return (f"agree={self.set_agreement:.3f} box_mean={self.box_mean_px:.3f}px "
+                f"box_p99={self.box_p99_px:.3f}px score_p99={self.score_p99:.4f} "
+                f"({self.ref_dets}/{self.alt_dets} dets on {self.images} imgs)")
+
+
+def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
+    """Compare two lists of per-image Detections (same images, two modes)."""
+    n_ref = n_alt = n_match = 0
+    box_devs: list[float] = []
+    score_devs: list[float] = []
+    for a, b in zip(ref_dets, alt_dets):
+        n_ref += len(a)
+        n_alt += len(b)
+        if not len(a) or not len(b):
+            continue
+        d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1)  # (B, A)
+        j = d.argmin(1)
+        nearest = d[np.arange(len(b)), j]
+        hit = nearest <= match_px
+        n_match += int(hit.sum())
+        box_devs.extend(nearest[hit].tolist())
+        sa = a.obj * a.cls_score
+        sb = b.obj * b.cls_score
+        score_devs.extend(np.abs(sb[hit] - sa[j[hit]]).tolist())
+    denom = max(n_ref, n_alt, 1)
+    return DriftStats(
+        images=len(ref_dets),
+        ref_dets=n_ref,
+        alt_dets=n_alt,
+        set_agreement=n_match / denom,
+        box_mean_px=float(np.mean(box_devs)) if box_devs else 0.0,
+        box_p99_px=float(np.quantile(box_devs, 0.99)) if box_devs else 0.0,
+        score_p99=float(np.quantile(score_devs, 0.99)) if score_devs else 0.0,
+    )
+
+
+def measure_mode_drift(det_ref, det_alt, images, size: int = 416,
+                       conf: float = 0.5, iou: float = 0.4,
+                       match_px: float = 8.0) -> DriftStats:
+    """Run both detectors over ``images`` (list of HWC uint8) and compare."""
+    ref = [det_ref.detect(img, size=size, conf=conf, iou=iou) for img in images]
+    alt = [det_alt.detect(img, size=size, conf=conf, iou=iou) for img in images]
+    return detection_drift(ref, alt, match_px=match_px)
