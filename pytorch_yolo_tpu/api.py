@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -110,6 +111,10 @@ class Detector:
         self.cfg_text = cfg_text
         self.class_names = tuple(class_names) if class_names else load_classes()
         self.score_mode = score_mode
+        if use_pallas is None and os.environ.get("PYTORCH_YOLO_NO_PALLAS") == "1":
+            # ops kill-switch: force the jnp decode/NMS path without touching
+            # code (e.g. if a Mosaic toolchain change wedges remote compiles)
+            use_pallas = False
         self.use_pallas = use_pallas
         self.interp = interp
         if quant is None and any("wq" in p for p in params.values()):
@@ -175,6 +180,8 @@ class Detector:
         interp: str = "linear",
         quant: str | None = None,
         quant_skip_layers: "object" = "heads",
+        use_pallas: bool | None = None,
+        score_mode: str = "obj",
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -196,7 +203,8 @@ class Detector:
         return cls(spec, params, class_names=load_classes(names),
                    mesh=mesh, compute_dtype=compute_dtype, precision=precision,
                    cfg_text=cfg_text, interp=interp, quant=quant,
-                   quant_skip_layers=quant_skip_layers)
+                   quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
+                   score_mode=score_mode)
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads
