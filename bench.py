@@ -229,6 +229,52 @@ def measure_stream(model: str, frames: int, dtype: str, precision: str) -> None:
     log(f"stream {model}@416 batch=1 pipelined: {n / dt:.1f} FPS")
 
 
+def _run_with_retries(args, argv) -> None:
+    """Parent mode: re-exec the measurement in fresh subprocesses.
+
+    The tunneled axon backend intermittently hangs in PJRT init or returns
+    UNAVAILABLE after a long wait (observed r1/r2); a failed init is cached
+    in-process by jax, so each attempt needs a fresh interpreter.  Prints the
+    first successful child's JSON line, or the fallback contract line."""
+    import subprocess
+
+    fallback = None
+    child_argv = [sys.executable, os.path.abspath(__file__), "--retries", "0"]
+    skip_next = False
+    for a in argv:
+        if skip_next:
+            skip_next = False
+            continue
+        if a.startswith("--retries"):
+            skip_next = "=" not in a
+            continue
+        child_argv.append(a)
+    for attempt in range(args.retries + 1):
+        if attempt:
+            log(f"retry {attempt}/{args.retries} in {args.retry_wait}s "
+                "(letting the device grant settle)")
+            time.sleep(args.retry_wait)
+        log(f"bench attempt {attempt + 1}")
+        proc = subprocess.run(child_argv, capture_output=True, text=True)
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            payload = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            payload = None
+        if payload is not None:
+            fallback = line
+            if proc.returncode == 0 and payload.get("value", 0) > 0:
+                print(line)
+                return
+        log(f"attempt {attempt + 1} failed (rc={proc.returncode})")
+    if fallback is None:
+        fallback = json.dumps({
+            "metric": "images/sec/chip (backend=unavailable)",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": None})
+    print(fallback)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3")
@@ -241,9 +287,18 @@ def main() -> None:
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also log a dtype/batch sweep table to stderr")
-    ap.add_argument("--timeout", type=int, default=480,
+    ap.add_argument("--timeout", type=int, default=900,
                     help="watchdog seconds for the headline measurement")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="re-exec attempts if the TPU is unavailable "
+                         "(0 = measure in-process)")
+    ap.add_argument("--retry-wait", type=int, default=240,
+                    help="seconds between retry attempts")
     args = ap.parse_args()
+
+    if args.retries > 0:
+        _run_with_retries(args, sys.argv[1:])
+        return
 
     fallback = {
         "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end "
@@ -288,6 +343,10 @@ def main() -> None:
         ips = measure_tpu(args.model, args.size, args.batch, args.iters,
                           args.warmup, args.dtype, args.precision)
         backend = jax.default_backend()
+    except RuntimeError as e:  # backend init UNAVAILABLE (tunnel flake)
+        log(f"backend unavailable: {e}")
+        print(json.dumps(fallback))
+        raise SystemExit(1)
     finally:
         _disarm()
     if args.skip_cpu_baseline:

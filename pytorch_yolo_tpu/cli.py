@@ -347,9 +347,18 @@ def cmd_profile(args) -> int:
     """Per-stage forward cost via truncated-prefix timing (PERF.md #4)."""
     import json as _json
 
-    from .utils.profiling import profile_stages
+    from .utils.profiling import profile_pipeline, profile_stages
 
     det = _build_detector(args)
+    if args.pipeline:
+        rows = profile_pipeline(det, size=args.reso, batch=args.batch,
+                                iters=args.iters)
+        print(_json.dumps(rows))
+        for r in rows:
+            print(f"  {r['stage']:<10}  cum {r['cum_ms']:8.2f} ms  "
+                  f"delta {r['delta_ms']:8.2f} ms  {r['img_per_s']:8.1f} img/s",
+                  file=sys.stderr)
+        return 0
     rows = profile_stages(det, size=args.reso, batch=args.batch,
                           iters=args.iters)
     print(_json.dumps(rows))
@@ -434,6 +443,9 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--pipeline", action="store_true",
+                   help="profile e2e pipeline stages (letterbox/forward/"
+                        "decode/nms) instead of forward layers")
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("assets", help="scan for driver-provided weights/COCO "

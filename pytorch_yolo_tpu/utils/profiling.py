@@ -77,6 +77,72 @@ class PipelineStats:
         return "\n".join(lines)
 
 
+def profile_pipeline(detector, size: int = 416, batch: int = 8,
+                     iters: int = 10, orig: tuple[int, int] = (480, 640),
+                     conf: float = 0.6, iou: float = 0.45) -> list[dict]:
+    """End-to-end pipeline cost split: letterbox / forward / decode / NMS.
+
+    Times cumulative pipeline *prefixes* (each compiled separately, each
+    reduced to a scalar so the D2H fetch that fences the timing doesn't
+    dominate it) and differences them.  Same caveats as
+    :func:`profile_stages` — prefix costs aren't strictly additive under XLA
+    fusion; small negative deltas are noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.nms import batched_nms_fused
+    from ..ops.pallas_kernels import decode_score_all
+    from ..ops.preprocess import letterbox_batch
+
+    spec = detector.spec
+    fwd = detector._forward
+    use_pallas = detector.use_pallas
+    score_mode = detector.score_mode
+    interp = detector.interp
+
+    def p_letterbox(params, imgs):
+        return letterbox_batch(imgs, size=size, bgr=True, method=interp).sum()
+
+    def p_forward(params, imgs):
+        x = letterbox_batch(imgs, size=size, bgr=True, method=interp)
+        # keep every head live (returning one would let XLA DCE the others)
+        return sum(h.sum() for h in fwd(params, x))
+
+    def p_decode(params, imgs):
+        x = letterbox_batch(imgs, size=size, bgr=True, method=interp)
+        rows = decode_score_all(tuple(fwd(params, x)), spec, size,
+                                score_mode=score_mode, use_pallas=use_pallas)
+        return rows.sum()
+
+    def p_nms(params, imgs):
+        x = letterbox_batch(imgs, size=size, bgr=True, method=interp)
+        rows = decode_score_all(tuple(fwd(params, x)), spec, size,
+                                score_mode=score_mode, use_pallas=use_pallas)
+        res = batched_nms_fused(rows, conf_thresh=conf, iou_thresh=iou,
+                                max_det=300, use_pallas=use_pallas)
+        return res.boxes.sum() + res.valid.sum()
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(batch,) + orig + (3,),
+                                    dtype=np.uint8))
+    rows_out: list[dict] = []
+    prev = 0.0
+    for name, fn in (("letterbox", p_letterbox), ("+forward", p_forward),
+                     ("+decode", p_decode), ("+nms", p_nms)):
+        jfn = jax.jit(fn)
+        np.asarray(jfn(detector.params, imgs))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(detector.params, imgs)
+        np.asarray(out)
+        cum = (time.perf_counter() - t0) / iters * 1e3
+        rows_out.append({"stage": name, "cum_ms": round(cum, 3),
+                         "delta_ms": round(cum - prev, 3),
+                         "img_per_s": round(batch / (cum / 1e3), 1)})
+        prev = cum
+    return rows_out
+
+
 def stage_cut_points(spec) -> list[tuple[int, str]]:
     """(layer_index, label) after each spatial-resolution change + each head.
 
