@@ -65,3 +65,15 @@ def test_profile_stages_runs():
     assert all(r["cum_ms"] > 0 for r in rows)
     # deltas telescope to the final cumulative (each rounded to 1e-3 ms)
     assert abs(sum(r["delta_ms"] for r in rows) - rows[-1]["cum_ms"]) < 1e-2
+
+
+def test_profile_pipeline_runs():
+    import pytorch_yolo_tpu as pyt
+    from pytorch_yolo_tpu.utils.profiling import profile_pipeline
+
+    det = pyt.Detector.load("yolov3-tiny")
+    rows = profile_pipeline(det, size=320, batch=1, iters=1)
+    assert [r["stage"] for r in rows] == ["letterbox", "+forward", "+decode", "+nms"]
+    assert all(r["cum_ms"] > 0 and r["img_per_s"] > 0 for r in rows)
+    # the forward prefix strictly includes the letterbox prefix's work
+    assert rows[1]["cum_ms"] > rows[0]["cum_ms"]
