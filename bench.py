@@ -163,6 +163,35 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     return ips
 
 
+def measure_h2d(batch: int = 16, iters: int = 20) -> None:
+    """Host->device transfer throughput for the three input strategies
+    (PERF.md roadmap #1): raw uint8 frames, uint8 letterboxed canvases,
+    fp32 prepared tensors.  Each timing fences with a real D2H fetch of a
+    scalar reduction (jax.block_until_ready is not a fence here)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    cases = {
+        "raw u8 480x640 frames": rng.integers(
+            0, 256, size=(batch, 480, 640, 3), dtype=np.uint8),
+        "u8 416 canvases": rng.integers(
+            0, 256, size=(batch, 416, 416, 3), dtype=np.uint8),
+        "f32 416 canvases": rng.random((batch, 416, 416, 3)).astype(np.float32),
+    }
+    reduce_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    for name, arr in cases.items():
+        np.asarray(reduce_fn(jax.device_put(arr)))  # compile + warm path
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = reduce_fn(jax.device_put(arr))
+        np.asarray(s)
+        dt = (time.perf_counter() - t0) / iters
+        mb = arr.nbytes / 1e6
+        log(f"h2d {name}: {mb:.1f} MB in {dt * 1e3:.2f} ms "
+            f"({mb / dt / 1e3:.2f} GB/s, {batch / dt:.0f} img/s bound)")
+
+
 def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> None:
     """Box drift of each fast serving mode vs fp32/HIGHEST (VERDICT r1 #3).
 
@@ -331,6 +360,10 @@ def main() -> None:
                 measure_drift(args.model, args.size)
             except Exception as e:
                 log(f"measure_drift failed: {e}")
+            try:
+                measure_h2d()
+            except Exception as e:
+                log(f"measure_h2d failed: {e}")
         except BenchTimeout as e:
             log(f"WATCHDOG during sweep: {e}")
         finally:
