@@ -291,7 +291,7 @@ def _run_with_retries(args, argv) -> None:
             payload = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             payload = None
-        if payload is not None:
+        if isinstance(payload, dict):
             fallback = line
             if proc.returncode == 0 and payload.get("value", 0) > 0:
                 print(line)
@@ -302,6 +302,7 @@ def _run_with_retries(args, argv) -> None:
             "metric": "images/sec/chip (backend=unavailable)",
             "value": 0.0, "unit": "images/sec", "vs_baseline": None})
     print(fallback)
+    raise SystemExit(1)  # every attempt failed; don't mask it from callers
 
 
 def main() -> None:

@@ -106,6 +106,7 @@ class Detector:
         interp: str = "linear",
         quant: str | None = None,
         quant_skip_layers: "object" = "heads",
+        keep_fp32_params: bool = True,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -133,16 +134,25 @@ class Detector:
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
                                       precision=precision, quant=quant)
         self.mesh = mesh
+        self.weights_source: str | None = None  # set by load(); None=synthetic
 
         cdtype = jnp.dtype(compute_dtype)
         # Checkpoints are fp32-canonical: when kernels are about to be
         # pre-cast to a reduced compute dtype, keep an fp32 host copy so
         # save_checkpoint never silently persists bf16 weights.
         self._fp32_params = None
-        if cdtype != jnp.float32 and quant is None:
-            self._fp32_params = {
-                k: {kk: np.asarray(vv, dtype=np.float32) for kk, vv in v.items()}
-                for k, v in params.items()}
+        # The fp32 host copy costs host RAM (yolov3: ~248 MB); serving fleets
+        # that never checkpoint can pass keep_fp32_params=False, in which
+        # case save_checkpoint on a reduced-precision detector raises.
+        if keep_fp32_params and cdtype != jnp.float32 and quant is None:
+            host = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                    for k, v in params.items()}
+            # Only a genuinely-fp32 source is canonical: upcasting params
+            # that arrived already reduced (bf16) would launder lost
+            # precision into a "canonical" checkpoint (save_checkpoint's
+            # dtype guard rejects those instead).
+            if all(a.dtype == np.float32 for p in host.values() for a in p.values()):
+                self._fp32_params = host
 
         def place(path_key, a):
             # Pre-cast conv kernels to the compute dtype at load time: in bf16
@@ -200,11 +210,13 @@ class Detector:
             params = load_weights(spec, weights)
         else:
             params = fold_batchnorm(spec, random_raw_params(spec))
-        return cls(spec, params, class_names=load_classes(names),
-                   mesh=mesh, compute_dtype=compute_dtype, precision=precision,
-                   cfg_text=cfg_text, interp=interp, quant=quant,
-                   quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
-                   score_mode=score_mode)
+        det = cls(spec, params, class_names=load_classes(names),
+                  mesh=mesh, compute_dtype=compute_dtype, precision=precision,
+                  cfg_text=cfg_text, interp=interp, quant=quant,
+                  quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
+                  score_mode=score_mode)
+        det.weights_source = weights  # None = synthetic random (provenance)
+        return det
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads

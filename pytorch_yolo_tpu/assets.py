@@ -28,7 +28,6 @@ Darknet header (version ints), not just the name.
 from __future__ import annotations
 
 import dataclasses
-import glob
 import os
 import struct
 
@@ -71,6 +70,28 @@ class AssetReport:
     @property
     def ready(self) -> bool:
         return bool(self.weights and self.annotations and self.image_dirs)
+
+    def matched_eval_pair(self) -> "tuple[str, str] | None":
+        """(annotations, image_dir) that actually belong together.
+
+        Prefers an image dir whose basename matches the annotation's split
+        (instances_val2017.json -> .../val2017), else one sharing a parent
+        directory — picking [0] of each independently can pair val2014
+        annotations with val2017 images."""
+        for ann in self.annotations:
+            split = (os.path.basename(ann)
+                     .removeprefix("instances_").removesuffix(".json"))
+            for d in self.image_dirs:
+                if os.path.basename(os.path.normpath(d)) == split:
+                    return ann, d
+        for ann in self.annotations:
+            ann_root = os.path.dirname(os.path.abspath(ann))
+            for d in self.image_dirs:
+                if os.path.abspath(d).startswith(ann_root):
+                    return ann, d
+        if self.annotations and self.image_dirs:
+            return self.annotations[0], self.image_dirs[0]
+        return None
 
 
 def _search_dirs() -> list[str]:
@@ -115,27 +136,32 @@ def _looks_like_image_dir(d: str) -> bool:
 
 
 def scan_assets(extra_dirs: list[str] | None = None) -> AssetReport:
-    """Scan the documented locations for weights + COCO annotations/images."""
+    """Scan the documented locations for weights + COCO annotations/images.
+
+    One os.walk per search directory collects every pattern at once (a COCO
+    val tree holds 5k files; repeated recursive globs are needless churn)."""
     dirs = list(extra_dirs or []) + _search_dirs()
     weights: list[FoundWeights] = []
     annotations: list[str] = []
     image_dirs: list[str] = []
     seen: set[str] = set()
+    image_dir_names = ("val2017", "val2014", "images")
     for d in dirs:
         d = os.path.abspath(d)
         if d in seen:
             continue
         seen.add(d)
-        for p in sorted(glob.glob(os.path.join(d, "**", "*.weights"),
-                                  recursive=True)):
-            weights.append(_classify_weights(p))
-        for ann in ANNOTATION_NAMES:
-            for p in sorted(glob.glob(os.path.join(d, "**", ann), recursive=True)):
-                annotations.append(p)
-        for sub in ("val2017", "val2014", "images"):
-            for p in sorted(glob.glob(os.path.join(d, "**", sub), recursive=True)):
-                if _looks_like_image_dir(p):
-                    image_dirs.append(p)
+        for root, subdirs, files in os.walk(d):
+            for f in sorted(files):
+                if f.endswith(".weights"):
+                    weights.append(_classify_weights(os.path.join(root, f)))
+                elif f in ANNOTATION_NAMES:
+                    annotations.append(os.path.join(root, f))
+            for s in sorted(subdirs):
+                if s in image_dir_names:
+                    p = os.path.join(root, s)
+                    if _looks_like_image_dir(p):
+                        image_dirs.append(p)
         if _looks_like_image_dir(d):
             image_dirs.append(d)
     return AssetReport(weights=weights, annotations=annotations,

@@ -90,16 +90,21 @@ def _build_detector(args) -> Detector:
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
     weights = args.weights
     if weights is None and not source.endswith(".cfg"):
-        # auto-adopt driver-provided assets the moment they appear
-        from .assets import scan_assets
+        # auto-adopt driver-provided assets the moment they appear (reuse a
+        # report an earlier step already scanned, e.g. cmd_evaluate's)
+        report = getattr(args, "_asset_report", None)
+        if report is None:
+            from .assets import scan_assets
 
+            report = scan_assets()
         want = f"{source}.weights"
-        hit = next((w for w in scan_assets().weights
+        hit = next((w for w in report.weights
                     if w.expected_name == want and w.header_ok), None)
         if hit is not None:
             weights = hit.path
             log.info("using discovered weights asset: %s", weights)
     det = Detector.load(source, weights, names=args.names, **kw)
+    det.weights_source = weights  # provenance: None = synthetic random
     if weights is None:
         log.warning("no --weights given and no asset found: using synthetic "
                     "random weights (run `pytorch_yolo_tpu assets` for the "
@@ -227,12 +232,15 @@ def cmd_evaluate(args) -> int:
         from .assets import report_text, scan_assets
 
         report = scan_assets()
-        if args.annotations is None and report.annotations:
-            args.annotations = report.annotations[0]
-            log.info("using discovered annotations: %s", args.annotations)
-        if args.images is None and report.image_dirs:
-            args.images = report.image_dirs[0]
-            log.info("using discovered image dir: %s", args.images)
+        args._asset_report = report  # let _build_detector reuse the scan
+        pair = report.matched_eval_pair()  # matched, not independent [0]s
+        if pair is not None:
+            if args.annotations is None:
+                args.annotations = pair[0]
+                log.info("using discovered annotations: %s", args.annotations)
+            if args.images is None:
+                args.images = pair[1]
+                log.info("using discovered image dir: %s", args.images)
         if args.images is None or args.annotations is None:
             print(report_text(report), file=sys.stderr)
             raise SystemExit("evaluate needs --images/--annotations (no asset found)")
@@ -278,6 +286,9 @@ def cmd_evaluate(args) -> int:
         "AP@[.5:.95]": round(coco["AP"], 4),
         "AP75": round(coco["AP75"], 4),
         "images_per_sec": round(stats.throughput(), 2),
+        # machine-readable provenance: a synthetic-weights run must never be
+        # mistaken for a real parity number
+        "weights": det.weights_source or "SYNTHETIC-RANDOM",
     }))
     print(stats.report(), file=sys.stderr)
     return 0

@@ -35,7 +35,12 @@ class LayerDescStruct(ctypes.Structure):
 
 
 def _is_fresh(so: str) -> bool:
-    """True if the built .so is at least as new as its source file."""
+    """True if the built .so is at least as new as its source file.
+
+    A missing source file (e.g. a deployment shipping only the binary)
+    counts as fresh — there is nothing to be stale against."""
+    if not os.path.exists(_SRC):
+        return True
     try:
         return os.path.getmtime(so) >= os.path.getmtime(_SRC)
     except OSError:

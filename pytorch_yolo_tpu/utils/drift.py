@@ -38,7 +38,12 @@ class DriftStats:
 
 
 def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
-    """Compare two lists of per-image Detections (same images, two modes)."""
+    """Compare two lists of per-image Detections (same images, two modes).
+
+    Matching is one-to-one (greedy, closest pairs first): a duplicated alt
+    box cannot claim the same ref box twice and a dropped ref box lowers
+    ``set_agreement`` — exactly the NMS-level failures this metric exists to
+    surface."""
     n_ref = n_alt = n_match = 0
     box_devs: list[float] = []
     score_devs: list[float] = []
@@ -48,14 +53,19 @@ def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
         if not len(a) or not len(b):
             continue
         d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1)  # (B, A)
-        j = d.argmin(1)
-        nearest = d[np.arange(len(b)), j]
-        hit = nearest <= match_px
-        n_match += int(hit.sum())
-        box_devs.extend(nearest[hit].tolist())
         sa = a.obj * a.cls_score
         sb = b.obj * b.cls_score
-        score_devs.extend(np.abs(sb[hit] - sa[j[hit]]).tolist())
+        cand = np.argwhere(d <= match_px)
+        order = np.argsort(d[cand[:, 0], cand[:, 1]], kind="stable")
+        used_b = np.zeros(len(b), bool)
+        used_a = np.zeros(len(a), bool)
+        for bi, ai in cand[order]:
+            if used_b[bi] or used_a[ai]:
+                continue
+            used_b[bi] = used_a[ai] = True
+            n_match += 1
+            box_devs.append(float(d[bi, ai]))
+            score_devs.append(float(abs(sb[bi] - sa[ai])))
     denom = max(n_ref, n_alt, 1)
     return DriftStats(
         images=len(ref_dets),

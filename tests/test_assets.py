@@ -95,3 +95,19 @@ def test_evaluate_autodiscovers_assets(asset_dir, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     metrics = json.loads(out)
     assert metrics["images"] == 5
+
+
+def test_matched_eval_pair_prefers_same_split(tmp_path):
+    """val2014 annotations must not pair with val2017 images (code-review r2)."""
+    from pytorch_yolo_tpu.assets import AssetReport
+
+    r = AssetReport(
+        weights=[],
+        annotations=["/a/instances_val2014.json", "/b/instances_val2017.json"],
+        image_dirs=["/b/val2017", "/a/val2014"],
+    )
+    assert r.matched_eval_pair() == ("/a/instances_val2014.json", "/a/val2014")
+    # no split-name match: falls back to shared parent, then [0]s
+    r2 = AssetReport(weights=[], annotations=["/x/instances_val2017.json"],
+                     image_dirs=["/x/images"])
+    assert r2.matched_eval_pair() == ("/x/instances_val2017.json", "/x/images")

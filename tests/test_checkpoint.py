@@ -71,3 +71,26 @@ def test_detector_without_cfg_text_refuses(tmp_path):
     det = pyt.Detector(spec, params)
     with pytest.raises(ValueError, match="cfg text"):
         det.save_checkpoint(str(tmp_path / "c"))
+
+
+def test_checkpoint_refuses_laundered_bf16_params(tmp_path):
+    """Params that ARRIVE bf16 must not be upcast into a 'canonical' fp32
+    checkpoint (code-review r2 finding)."""
+    import jax.numpy as jnp
+
+    det = pyt.Detector.load("yolov3-tiny")
+    bf16_params = {k: {kk: np.asarray(jnp.asarray(vv).astype(jnp.bfloat16))
+                       for kk, vv in v.items()}
+                   for k, v in det.params.items()}
+    det16 = pyt.Detector(det.spec, bf16_params, cfg_text=det.cfg_text,
+                         compute_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="fp32"):
+        det16.save_checkpoint(str(tmp_path / "c"))
+    # and opting out of the fp32 host copy also refuses (fp32 source)
+    fp32_params = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
+                   for k, v in det.params.items()}
+    det_nocopy = pyt.Detector(det.spec, fp32_params, cfg_text=det.cfg_text,
+                              compute_dtype=jnp.bfloat16,
+                              keep_fp32_params=False)
+    with pytest.raises(ValueError, match="fp32"):
+        det_nocopy.save_checkpoint(str(tmp_path / "c2"))

@@ -69,3 +69,23 @@ def test_detection_drift_empty_inputs():
 def _host(det):
     return {k: {kk: np.asarray(vv) for kk, vv in v.items()}
             for k, v in det.params.items()}
+
+
+def test_detection_drift_is_one_to_one():
+    """A duplicated box must not double-claim one ref box, and a dropped box
+    must lower agreement (code-review r2 finding)."""
+    from pytorch_yolo_tpu.api import Detection
+
+    def det(boxes):
+        b = np.asarray(boxes, np.float64).reshape(-1, 4)
+        n = len(b)
+        return Detection(boxes=b, obj=np.full(n, 0.9),
+                         cls_score=np.full(n, 0.8),
+                         cls_id=np.zeros(n, np.int64))
+
+    ref = det([[0, 0, 10, 10], [100, 100, 110, 110]])
+    alt = det([[0, 0, 10, 10], [1, 1, 11, 11]])  # dup of box 1, box 2 dropped
+    s = detection_drift([ref], [alt])
+    assert s.set_agreement == 0.5
+    # and closest-pair-first: the exact duplicate wins the match, drift 0
+    assert s.box_mean_px == 0.0
