@@ -127,10 +127,29 @@ emit(step="done")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--timeout", type=int, default=600)
     ap.add_argument("--out", default="/tmp/pallas_proof.jsonl")
+    ap.add_argument("--retries", type=int, default=0,
+                    help="fresh-child retries if acquisition hangs/fails "
+                         "(axon grants don't queue; see CLAUDE.md)")
+    ap.add_argument("--retry-wait", type=int, default=120)
     args = ap.parse_args()
 
+    rc = 1
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
+                  file=sys.stderr)
+            import time
+
+            time.sleep(args.retry_wait)
+        rc = _run_once(args)
+        if rc == 0:
+            break
+    return rc
+
+
+def _run_once(args) -> int:
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
