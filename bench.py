@@ -129,6 +129,12 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     import jax.numpy as jnp
 
     from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+
+    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
+        # persistent cache: a prior harvest/bench run makes this one skip its
+        # remote compiles entirely — the main wedge risk on this tunnel
+        enable_compilation_cache()
 
     log(f"devices: {jax.devices()}")
     dtype_label = compute_dtype
@@ -163,7 +169,7 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     return ips
 
 
-def measure_h2d(batch: int = 16, iters: int = 20) -> None:
+def measure_h2d(batch: int = 16, iters: int = 20) -> list:
     """Host->device transfer throughput for the three input strategies
     (PERF.md roadmap #1): raw uint8 frames, uint8 letterboxed canvases,
     fp32 prepared tensors.  Each timing fences with a real D2H fetch of a
@@ -180,6 +186,7 @@ def measure_h2d(batch: int = 16, iters: int = 20) -> None:
         "f32 416 canvases": rng.random((batch, 416, 416, 3)).astype(np.float32),
     }
     reduce_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    rows = []
     for name, arr in cases.items():
         np.asarray(reduce_fn(jax.device_put(arr)))  # compile + warm path
         t0 = time.perf_counter()
@@ -190,9 +197,13 @@ def measure_h2d(batch: int = 16, iters: int = 20) -> None:
         mb = arr.nbytes / 1e6
         log(f"h2d {name}: {mb:.1f} MB in {dt * 1e3:.2f} ms "
             f"({mb / dt / 1e3:.2f} GB/s, {batch / dt:.0f} img/s bound)")
+        rows.append({"case": name, "mb": round(mb, 2),
+                     "ms": round(dt * 1e3, 3),
+                     "gb_per_s": round(mb / dt / 1e3, 3)})
+    return rows
 
 
-def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> None:
+def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
     """Box drift of each fast serving mode vs fp32/HIGHEST (VERDICT r1 #3).
 
     Logged rows feed the serving-default decision in PERF.md."""
@@ -213,12 +224,17 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> None:
                          precision="default"),
         "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
     }
+    rows = []
     for name, det in modes.items():
         s = measure_mode_drift(ref, det, imgs, size=size)
         log(f"drift {model}@{size} {name} vs fp32/highest: {s.row()}")
+        rows.append({"mode": name, "set_agreement": round(s.set_agreement, 4),
+                     "box_p99_px": round(s.box_p99_px, 3),
+                     "score_p99": round(s.score_p99, 5)})
+    return rows
 
 
-def measure_multires(model: str, iters: int, dtype: str, precision: str) -> None:
+def measure_multires(model: str, iters: int, dtype: str, precision: str) -> list:
     """Steady-state img/s at 320/416/608 (BASELINE.json:10 shape buckets)."""
     import jax.numpy as jnp
 
@@ -227,6 +243,7 @@ def measure_multires(model: str, iters: int, dtype: str, precision: str) -> None
     det = Detector.load(model, compute_dtype=jnp.dtype(dtype), precision=precision)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, size=(8, 480, 640, 3), dtype=np.uint8)
+    rows = []
     for size in (320, 416, 608):
         np.asarray(det.raw_result(imgs, size=size, conf=0.6).boxes)  # compile
         t0 = time.perf_counter()
@@ -235,9 +252,11 @@ def measure_multires(model: str, iters: int, dtype: str, precision: str) -> None
         np.asarray(res.boxes)
         dt = time.perf_counter() - t0
         log(f"multires {model}@{size}: {8 * iters / dt:.1f} img/s")
+        rows.append({"size": size, "img_per_s": round(8 * iters / dt, 1)})
+    return rows
 
 
-def measure_stream(model: str, frames: int, dtype: str, precision: str) -> None:
+def measure_stream(model: str, frames: int, dtype: str, precision: str) -> float:
     """Pipelined per-frame (batch-1) throughput — the video loop shape
     (BASELINE.json:11)."""
     import jax.numpy as jnp
@@ -256,6 +275,7 @@ def measure_stream(model: str, frames: int, dtype: str, precision: str) -> None:
         n += 1
     dt = time.perf_counter() - t0
     log(f"stream {model}@416 batch=1 pipelined: {n / dt:.1f} FPS")
+    return n / dt
 
 
 def _run_with_retries(args, argv) -> None:

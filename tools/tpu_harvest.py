@@ -1,0 +1,203 @@
+"""One-acquisition TPU measurement harvest.
+
+Device acquisition on the tunneled single-tenant axon TPU is the scarce
+resource (grants don't queue — CLAUDE.md landmines), so this tool harvests
+EVERYTHING in one ordered session, emitting one JSON line per banked result
+so a late wedge cannot lose earlier evidence:
+
+  1. headline: fp32/HIGHEST e2e, unfused XLA decode/NMS (safest compiles)
+  2. serving modes e2e: fp32/HIGH, bf16, int8 (still unfused)
+  3. multires 320/416/608, pipelined stream FPS, H2D table, drift rows
+  4. RISKY LAST: Pallas kernel proof (tiny shapes), fused e2e compare
+  5. pipeline + per-stage profiles
+
+The persistent XLA compile cache is enabled, so a retried session (fresh
+child) skips every compile the previous attempt finished — retries converge.
+
+  python tools/tpu_harvest.py [--retries 8] [--timeout 1500] \
+      [--out /tmp/tpu_harvest.jsonl]
+
+Parent exit: 0 if the child reached "done", else non-zero.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, time
+import numpy as np
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+import bench  # repo-root bench.py: measurement library
+bench._honor_jax_platforms_env()
+import jax
+
+from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))  # resume control
+t_session = time.perf_counter()
+emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
+
+MODEL = os.environ.get("HARVEST_MODEL", "yolov3")
+ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
+B = int(os.environ.get("HARVEST_BATCH", "16"))
+
+def guard(step_id, name, fn):
+    if step_id < SKIP_TO:
+        emit(step=name, skipped=True)
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:
+        emit(step=name, error=str(e)[:300])
+        return None
+    emit(step=name, seconds=round(time.perf_counter() - t0, 1), result=out)
+    return out
+
+# ---- 1. headline: unfused fp32/HIGHEST --------------------------------
+os.environ["PYTORCH_YOLO_NO_PALLAS"] = "1"
+guard(1, "headline_fp32_highest_unfused",
+      lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "highest"))
+
+# ---- 2. serving modes e2e (unfused) ------------------------------------
+guard(2, "e2e_fp32_high", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "high"))
+guard(3, "e2e_bf16", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "bfloat16", "default"))
+guard(4, "e2e_int8", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "int8", "default"))
+guard(5, "e2e_bf16_b32", lambda: bench.measure_tpu(MODEL, 416, 2 * B, ITERS, 2, "bfloat16", "default"))
+
+# ---- 3. shape/stream/h2d/drift -----------------------------------------
+guard(6, "multires_bf16", lambda: bench.measure_multires(MODEL, max(ITERS // 3, 2), "bfloat16", "default"))
+guard(7, "stream_fp32_highest", lambda: bench.measure_stream(MODEL, 2 * ITERS, "float32", "highest"))
+guard(8, "stream_bf16", lambda: bench.measure_stream(MODEL, 2 * ITERS, "bfloat16", "default"))
+guard(9, "h2d", lambda: bench.measure_h2d())
+guard(10, "drift", lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
+
+# ---- 4. RISKY: Pallas kernels (tiny first), then fused e2e --------------
+del os.environ["PYTORCH_YOLO_NO_PALLAS"]
+
+def pallas_proof():
+    from pytorch_yolo_tpu.ops.pallas_kernels import (
+        decode_score_head, decode_score_head_ref, nms_keep_pallas)
+    from pytorch_yolo_tpu.ops.nms import greedy_suppress, iou_matrix
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    anchors = ((116.0, 90.0), (156.0, 198.0), (373.0, 326.0))
+    raw = jnp.asarray(rng.normal(size=(1, 4, 4, 255)).astype(np.float32))
+    got = np.asarray(decode_score_head(raw, anchors, 32, 80, interpret=False))
+    want = np.asarray(decode_score_head_ref(raw, anchors, 32, 80))
+    decode_err = float(np.abs(got - want).max())
+    k = 300
+    boxes = rng.uniform(0, 416, size=(2, k, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(4, 120, size=(2, k, 2)).astype(np.float32)
+    score = np.sort(rng.uniform(0.05, 1.0, size=(2, k)).astype(np.float32))[:, ::-1]
+    valid = score > 0.1
+    cls = rng.integers(0, 5, size=(2, k)).astype(np.float32)
+    keep = np.asarray(nms_keep_pallas(jnp.asarray(boxes), jnp.asarray(valid),
+                                      0.45, cls_id=jnp.asarray(cls),
+                                      interpret=False))
+    ok = True
+    for i in range(2):
+        iou = np.asarray(iou_matrix(jnp.asarray(boxes[i])))
+        iou = iou * (cls[i][:, None] == cls[i][None, :])
+        ref = np.asarray(greedy_suppress(jnp.asarray(iou), jnp.asarray(valid[i]), 0.45))
+        ok = ok and bool((keep[i] == ref).all())
+    return {"decode_max_err": decode_err, "decode_ok": decode_err < 1e-3,
+            "nms_keepset_ok": ok}
+
+guard(11, "pallas_proof_tiny", pallas_proof)
+guard(12, "e2e_fused_fp32_highest",
+      lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "highest"))
+guard(13, "e2e_fused_bf16",
+      lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "bfloat16", "default"))
+
+# ---- 5. profiles ---------------------------------------------------------
+def profiles(use_pallas):
+    from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.utils.profiling import profile_pipeline
+    det = Detector.load(MODEL, use_pallas=use_pallas)
+    return profile_pipeline(det, size=416, batch=B, iters=max(ITERS // 3, 2))
+
+guard(14, "pipeline_profile_unfused", lambda: profiles(False))
+guard(15, "pipeline_profile_fused", lambda: profiles(True))
+
+def stage_profile():
+    from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.utils.profiling import profile_stages
+    import jax.numpy as jnp
+    det = Detector.load(MODEL, compute_dtype=jnp.bfloat16, precision="default")
+    return profile_stages(det, size=416, batch=B, iters=max(ITERS // 4, 2))
+
+guard(16, "stage_profile_bf16", stage_profile)
+
+emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
+"""
+
+
+def run_once(args) -> tuple[int, bool]:
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    done = False
+    with open(args.out, "a") as sink:
+        proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
+                                stdout=subprocess.PIPE,
+                                stderr=open(args.out + ".stderr", "a"),
+                                text=True, env=env, cwd=repo)
+        # hard watchdog: a silent hang produces no lines, so the reader loop
+        # alone can't enforce the bound
+        import threading
+
+        timer = threading.Timer(args.timeout, proc.kill)
+        timer.daemon = True
+        timer.start()
+        try:
+            for line in proc.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                sink.write(line)
+                sink.flush()
+                if '"step": "done"' in line:
+                    done = True
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        finally:
+            timer.cancel()
+    if proc.returncode not in (0,):
+        print(f"child exited rc={proc.returncode}", file=sys.stderr)
+    return (0 if proc.returncode == 0 else 2), done
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--retries", type=int, default=8)
+    ap.add_argument("--retry-wait", type=int, default=120)
+    ap.add_argument("--timeout", type=int, default=1500,
+                    help="per-attempt bound; compile cache makes retries cheap")
+    ap.add_argument("--out", default="/tmp/tpu_harvest.jsonl")
+    args = ap.parse_args()
+
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
+                  file=sys.stderr)
+            time.sleep(args.retry_wait)
+        rc, done = run_once(args)
+        if done:
+            return 0
+        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
+              file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
