@@ -169,6 +169,93 @@ def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
     return ips
 
 
+def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
+                          compute_dtype: str, precision: str,
+                          transfer: str = "u8") -> float:
+    """End-to-end bytes-to-boxes via the double-buffered host-letterbox path.
+
+    The tunneled TPU's H2D link is the e2e bottleneck (~0.05 GB/s measured,
+    see measure_h2d) — this mode ships rounded uint8 letterboxed canvases
+    (0.52 MB/img vs 0.92 raw / 2.1 f32) and overlaps chunk t+1's transfer
+    with chunk t's compute (api.detect_many), so throughput approaches
+    min(link bound, compute bound) instead of their sum."""
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+
+    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
+        enable_compilation_cache()
+
+    quant = None
+    if compute_dtype == "int8":
+        quant, compute_dtype = "w8a8", "float32"
+    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
+                        precision=precision, quant=quant)
+    rng = np.random.default_rng(0)
+    pool = [rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+            for _ in range(2 * batch)]
+    n = batch * iters
+    frames = [pool[i % len(pool)] for i in range(n)]
+
+    t0 = time.perf_counter()
+    det.detect_many(frames[: 2 * batch], size=size, conf=0.6, iou=0.45,
+                    batch=batch, transfer=transfer)  # compile + warm
+    log(f"pipelined compile+warm: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    out = det.detect_many(frames, size=size, conf=0.6, iou=0.45,
+                          batch=batch, transfer=transfer)
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    ips = n / dt
+    log(f"{model}@{size} pipelined transfer={transfer} batch={batch} "
+        f"dtype={compute_dtype if not quant else 'int8'}/{precision}: "
+        f"{ips:.1f} img/s")
+    return ips
+
+
+def measure_compute(model: str, size: int, batch: int, iters: int,
+                    compute_dtype: str, precision: str) -> float:
+    """On-chip pipeline throughput with device-resident input (no H2D).
+
+    Isolates what the chip can actually do (letterbox+forward+decode+NMS)
+    from the container's tunnel link, which measure_h2d shows is ~0.05 GB/s
+    — on a production v5e host the PCIe/DMA link is ~3 orders of magnitude
+    faster, so this number is the deployment-relevant throughput bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_yolo_tpu.api import Detector, _PipelineKey
+    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+
+    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
+        enable_compilation_cache()
+
+    quant = None
+    if compute_dtype == "int8":
+        quant, compute_dtype = "w8a8", "float32"
+    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
+                        precision=precision, quant=quant)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
+    dev_imgs = jax.device_put(imgs)
+    key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,
+                       conf=0.6, iou=0.45, max_det=300, bgr=True)
+    fn = det._pipeline(key)
+    np.asarray(fn(det.params, dev_imgs).boxes)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = fn(det.params, dev_imgs)
+    np.asarray(res.boxes)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"{model}@{size} ON-CHIP (device-resident input) batch={batch} "
+        f"dtype={compute_dtype if not quant else 'int8'}/{precision}: "
+        f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
+    return ips
+
+
 def measure_h2d(batch: int = 16, iters: int = 20) -> list:
     """Host->device transfer throughput for the three input strategies
     (PERF.md roadmap #1): raw uint8 frames, uint8 letterboxed canvases,
@@ -334,6 +421,13 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--precision", default="highest")
+    ap.add_argument("--mode", default="batch",
+                    choices=("batch", "pipelined", "compute"),
+                    help="batch: raw-frame device-letterbox e2e; pipelined: "
+                         "double-buffered host-letterbox e2e (tunnel-friendly); "
+                         "compute: device-resident input (chip capability)")
+    ap.add_argument("--transfer", default="u8", choices=("u8", "f32"),
+                    help="H2D payload for --mode pipelined")
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also log a dtype/batch sweep table to stderr")
@@ -350,10 +444,14 @@ def main() -> None:
         _run_with_retries(args, sys.argv[1:])
         return
 
+    mode_label = {
+        "batch": "end-to-end bytes-to-boxes",
+        "pipelined": f"end-to-end bytes-to-boxes, pipelined {args.transfer} transfer",
+        "compute": "on-chip pipeline, device-resident input",
+    }[args.mode]
     fallback = {
-        "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end "
-                  f"bytes-to-boxes, {args.dtype}/{args.precision}, "
-                  f"backend=unavailable)",
+        "metric": f"images/sec/chip ({args.model} @{args.size}, {mode_label}, "
+                  f"{args.dtype}/{args.precision}, backend=unavailable)",
         "value": 0.0,
         "unit": "images/sec",
         "vs_baseline": None,
@@ -394,8 +492,16 @@ def main() -> None:
 
     _watchdog(args.timeout, payload=fallback)
     try:
-        ips = measure_tpu(args.model, args.size, args.batch, args.iters,
-                          args.warmup, args.dtype, args.precision)
+        if args.mode == "pipelined":
+            ips = measure_tpu_pipelined(args.model, args.size, args.batch,
+                                        args.iters, args.dtype, args.precision,
+                                        transfer=args.transfer)
+        elif args.mode == "compute":
+            ips = measure_compute(args.model, args.size, args.batch,
+                                  args.iters, args.dtype, args.precision)
+        else:
+            ips = measure_tpu(args.model, args.size, args.batch, args.iters,
+                              args.warmup, args.dtype, args.precision)
         backend = jax.default_backend()
     except RuntimeError as e:  # backend init UNAVAILABLE (tunnel flake)
         log(f"backend unavailable: {e}")
@@ -409,7 +515,7 @@ def main() -> None:
         base = measure_cpu_baseline(args.size)
 
     print(json.dumps({
-        "metric": f"images/sec/chip ({args.model} @{args.size}, end-to-end bytes-to-boxes, "
+        "metric": f"images/sec/chip ({args.model} @{args.size}, {mode_label}, "
                   f"{args.dtype}/{args.precision}, backend={backend})",
         "value": round(ips, 2),
         "unit": "images/sec",

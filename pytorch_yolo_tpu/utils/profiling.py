@@ -203,13 +203,26 @@ def profile_stages(detector, size: int = 416, batch: int = 8,
         precision=getattr(detector, "precision", "highest"),
         quant=getattr(detector, "quant", None),
     )
+    import jax
+
     for idx, label in cuts:
-        fn = __import__("jax").jit(build_forward(spec, stop_at=idx, **kw))
-        np.asarray(fn(detector.params, x)[0])  # compile + warm
+        raw = build_forward(spec, stop_at=idx, **kw)
+
+        # Reduce every output to one scalar ON DEVICE: fetching the truncated
+        # activations themselves (e.g. 177 MB for the stem at batch 16) costs
+        # seconds over the tunneled link and swamps the compute being measured
+        # (observed in the round-2 harvest).  Summing all outputs also keeps
+        # XLA from dead-code-eliminating any of them.
+        def fn_scalar(params, xx, _raw=raw):
+            outs = _raw(params, xx)
+            return sum(o.astype(jnp.float32).sum() for o in outs)
+
+        fn = jax.jit(fn_scalar)
+        np.asarray(fn(detector.params, x))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(detector.params, x)
-        np.asarray(out[0])
+        np.asarray(out)
         cum_ms = (time.perf_counter() - t0) / iters * 1e3
         rows.append({"layer": idx, "stage": label,
                      "cum_ms": round(cum_ms, 3),

@@ -138,6 +138,44 @@ def stage_profile():
 
 guard(16, "stage_profile_bf16", stage_profile)
 
+# ---- 6. tunnel-aware e2e + on-chip capability (round-2 h2d findings) -----
+# h2d showed the tunnel link is ~0.05 GB/s — raw-frame e2e is pipe-bound at
+# ~65 img/s, u8 canvases bound ~105.  Pipelined u8 overlaps H2D with compute;
+# `compute` rows are the chip-capability numbers with device-resident input.
+guard(17, "pipelined_u8_fp32_highest",
+      lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "float32", "highest"))
+guard(18, "pipelined_u8_bf16",
+      lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "bfloat16", "default"))
+guard(19, "pipelined_u8_int8",
+      lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "int8", "default"))
+guard(20, "compute_fp32_highest",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
+guard(21, "compute_bf16",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+guard(22, "compute_bf16_b32",
+      lambda: bench.measure_compute(MODEL, 416, 2 * B, ITERS, "bfloat16", "default"))
+guard(23, "compute_bf16_b64",
+      lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+guard(24, "compute_int8",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "int8", "default"))
+
+def stream_u8():
+    from pytorch_yolo_tpu.api import Detector
+    import jax.numpy as jnp
+    det = Detector.load(MODEL, compute_dtype=jnp.bfloat16, precision="default")
+    frame = np.random.default_rng(0).integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+    kw = dict(size=416, conf=0.6, host_preproc=True, transfer="u8", depth=3)
+    for _ in det.detect_stream(iter([frame, frame]), **kw):
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for _ in det.detect_stream(iter([frame] * (2 * ITERS)), **kw):
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+guard(25, "stream_u8_bf16", stream_u8)
+guard(26, "stage_profile_bf16_scalar", stage_profile)
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
