@@ -107,6 +107,7 @@ class Detector:
         quant: str | None = None,
         quant_skip_layers: "object" = "heads",
         keep_fp32_params: bool = True,
+        stem_s2d: bool | None = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -131,8 +132,17 @@ class Detector:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.precision = precision
         self.quant = quant
+        if stem_s2d is None:
+            # Opt-in via env (ops kill-switch symmetry with PYTORCH_YOLO_NO_
+            # PALLAS); auto-off when the model/quant mode can't take it.
+            from .models.darknet import stem_s2d_applicable
+
+            stem_s2d = (os.environ.get("PYTORCH_YOLO_STEM_S2D") == "1"
+                        and quant is None and stem_s2d_applicable(spec))
+        self.stem_s2d = stem_s2d
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
-                                      precision=precision, quant=quant)
+                                      precision=precision, quant=quant,
+                                      stem_s2d=stem_s2d)
         self.mesh = mesh
         self.weights_source: str | None = None  # set by load(); None=synthetic
 
@@ -192,6 +202,7 @@ class Detector:
         quant_skip_layers: "object" = "heads",
         use_pallas: bool | None = None,
         score_mode: str = "obj",
+        stem_s2d: bool | None = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -214,7 +225,7 @@ class Detector:
                   mesh=mesh, compute_dtype=compute_dtype, precision=precision,
                   cfg_text=cfg_text, interp=interp, quant=quant,
                   quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
-                  score_mode=score_mode)
+                  score_mode=score_mode, stem_s2d=stem_s2d)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
 

@@ -60,20 +60,23 @@ def _needed_outputs(spec: ModelSpec) -> frozenset[int]:
 def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, spec: ConvSpec,
           compute_dtype: jnp.dtype, precision: lax.Precision) -> jnp.ndarray:
     p = spec.padding
+    # Accumulate in >= fp32 (fp32 for bf16/fp32 compute; fp64 stays fp64 —
+    # the f64 path exists so tests can pin transform exactness).
+    acc = jnp.promote_types(jnp.float32, compute_dtype)
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(spec.stride, spec.stride),
         padding=((p, p), (p, p)),
         dimension_numbers=_CONV_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
         precision=precision,
     )
-    y = y + b.astype(jnp.float32)
+    y = y + b.astype(acc)
     if spec.activation == "leaky":
         # Darknet LeakyReLU slope is exactly 0.1 (SURVEY.md §7 hard parts).
         y = jnp.where(y > 0, y, 0.1 * y)
-    return y.astype(compute_dtype) if compute_dtype != jnp.float32 else y
+    return y.astype(compute_dtype) if compute_dtype != jnp.dtype(acc) else y
 
 
 def _maxpool(x: jnp.ndarray, spec: MaxPoolSpec) -> jnp.ndarray:
@@ -131,12 +134,81 @@ def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y.reshape(n, h * stride, w * stride, c)
 
 
+def stem_s2d_applicable(spec: ModelSpec) -> bool:
+    """True when the first two layers are the Darknet-53 stem pattern
+    (3x3 stride-1 conv, then 3x3 stride-2 conv, neither output routed to)
+    that :func:`build_forward(stem_s2d=True)` can re-parameterize."""
+    layers = spec.layers
+    needed = _needed_outputs(spec)
+    return (
+        len(layers) >= 2
+        and isinstance(layers[0], ConvSpec)
+        and isinstance(layers[1], ConvSpec)
+        and layers[0].size == 3 and layers[0].stride == 1 and layers[0].padding == 1
+        and layers[1].size == 3 and layers[1].stride == 2 and layers[1].padding == 1
+        and layers[0].activation == "leaky" and layers[1].activation == "leaky"
+        and 0 not in needed
+    )
+
+
+def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
+    """Exact space-to-depth re-parameterization of the two stem convs.
+
+    The MLPerf-ResNet trick adapted to Darknet-53's stem (PERF.md roadmap
+    #3): the 3->32-channel 3x3 conv at full 416² resolution has a
+    contraction dim of 27 and 32 output channels — <25% of an MXU tile in
+    both directions.  Working in 2x2-block space instead:
+
+      * input (N, H, W, 3) -> (N, H/2, W/2, 12), channel = (dy, dx, c);
+      * conv0 becomes a 3x3 conv over 12 -> 4*O0 channels, output channel
+        = (a, b, o) for output phase (a, b) — output pixel (2i+a, 2j+b)
+        tap (r, s) reads input pixel (2i+a+r-1, ...), i.e. block
+        i + (a+r-1)//2, phase (a+r-1)%2;
+      * conv1 (stride 2) becomes a 2x2 *stride-1* conv over block space,
+        tap r reading block i + (r-1)//2, phase (r-1)%2, producing the
+        natural (N, H/2, W/2, O1) layout — the rest of the net is unchanged.
+
+    Taps that fall outside the packed kernels' support carry exact zeros,
+    so the math (incl. edge padding) is identical up to fp reduction order.
+    ~75% / ~44% of the packed MACs are those structural zeros (+~2% model
+    FLOPs total) — traded for full-width MXU tiles on what were the two
+    worst-utilized layers."""
+    k0h, k0w, c0, o0 = w0.shape
+    pw0 = jnp.zeros((3, 3, 4 * c0, 4 * o0), w0.dtype)
+    for a in range(2):
+        for b in range(2):
+            for r in range(3):
+                for s in range(3):
+                    di, dy = (a + r - 1) // 2 + 1, (a + r - 1) % 2
+                    dj, dx = (b + s - 1) // 2 + 1, (b + s - 1) % 2
+                    ci = (dy * 2 + dx) * c0
+                    oi = (a * 2 + b) * o0
+                    pw0 = pw0.at[di, dj, ci:ci + c0, oi:oi + o0].set(w0[r, s])
+    pb0 = jnp.tile(b0, 4)
+    k1h, k1w, c1, o1 = w1.shape
+    pw1 = jnp.zeros((2, 2, 4 * c1, o1), w1.dtype)
+    for r in range(3):
+        for s in range(3):
+            di, a = (r - 1) // 2 + 1, (r - 1) % 2
+            dj, b = (s - 1) // 2 + 1, (s - 1) % 2
+            ci = (a * 2 + b) * c1
+            pw1 = pw1.at[di, dj, ci:ci + c1, :].set(w1[r, s])
+    return pw0, pb0, pw1
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, w // 2, 4 * c)
+
+
 def build_forward(
     spec: ModelSpec,
     compute_dtype: Any = jnp.float32,
     precision: str | lax.Precision = "highest",
     quant: str | None = None,
     stop_at: int | None = None,
+    stem_s2d: bool = False,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -163,6 +235,14 @@ def build_forward(
     runtime's profiler cannot provide (PERF.md roadmap #4)."""
     if quant not in (None, "w8a8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
+    if stem_s2d:
+        if quant is not None:
+            raise ValueError("stem_s2d is a fp/bf16 path; not composable with "
+                             "int8 quant (the stem convs carry int8 weights)")
+        if not stem_s2d_applicable(spec):
+            raise ValueError("model's first two layers are not the "
+                             "conv3x3/s1 + conv3x3/s2 stem pattern "
+                             "(see stem_s2d_applicable)")
     needed = _needed_outputs(spec)
     layers = spec.layers
     dtype = jnp.dtype(compute_dtype)
@@ -177,10 +257,38 @@ def build_forward(
         # slow multi-pass algorithm for no accuracy gain.
         precision = lax.Precision.DEFAULT
 
+    acc_dtype = jnp.promote_types(jnp.float32, dtype)
+
+    def _epilogue(y: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        y = y + b.astype(acc_dtype)
+        y = jnp.where(y > 0, y, 0.1 * y)  # stem pattern guarantees leaky
+        return y.astype(dtype) if dtype != jnp.dtype(acc_dtype) else y
+
     def apply(params: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
-        for layer in layers[: len(layers) if stop_at is None else stop_at + 1]:
+        start = 0
+        if stem_s2d and (stop_at is None or stop_at >= 1):
+            # Packed at trace time from the canonical params (36 + 9 tiny
+            # slice writes — XLA folds them; the pytree layout is untouched
+            # so checkpoints/quant/sharding never see the transform).
+            pw0, pb0, pw1 = _pack_stem_s2d(
+                params[0]["w"], params[0]["b"], params[1]["w"])
+            y = _space_to_depth(x).astype(dtype)
+            y = lax.conv_general_dilated(
+                y, pw0.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=_CONV_DIMS,
+                preferred_element_type=acc_dtype, precision=precision)
+            y = _epilogue(y, pb0)
+            y = lax.conv_general_dilated(
+                y, pw1.astype(dtype), (1, 1), ((1, 0), (1, 0)),
+                dimension_numbers=_CONV_DIMS,
+                preferred_element_type=acc_dtype, precision=precision)
+            x = _epilogue(y, params[1]["b"])
+            if 1 in needed:
+                cache[1] = x
+            start = 2
+        for layer in layers[start: len(layers) if stop_at is None else stop_at + 1]:
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
                 if quant is not None and "wq" in p:
@@ -201,7 +309,7 @@ def build_forward(
             elif isinstance(layer, ShortcutSpec):
                 x = cache[layer.index - 1] + cache[layer.from_layer]
             elif isinstance(layer, (YoloSpec, RegionSpec)):
-                heads.append(x.astype(jnp.float32))
+                heads.append(x.astype(acc_dtype))
                 # x passes through unchanged (reference caches the raw map too)
             if layer.index in needed:
                 cache[layer.index] = x

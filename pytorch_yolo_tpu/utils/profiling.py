@@ -202,6 +202,7 @@ def profile_stages(detector, size: int = 416, batch: int = 8,
         compute_dtype=getattr(detector, "compute_dtype", jnp.float32),
         precision=getattr(detector, "precision", "highest"),
         quant=getattr(detector, "quant", None),
+        stem_s2d=getattr(detector, "stem_s2d", False),
     )
     import jax
 

@@ -1,0 +1,118 @@
+"""Space-to-depth stem transform (models/darknet.py stem_s2d) parity.
+
+The transform is a pure re-parameterization of the first two convs
+(MLPerf-ResNet-style, adapted to Darknet-53's s1+s2 stem — PERF.md roadmap
+#3): every head output must match the untransformed forward up to fp
+reduction-order noise, on every applicable model, dtype, and input size.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_yolo_tpu.config import build_spec, parse_cfg_text
+from pytorch_yolo_tpu.models.darknet import (
+    build_forward,
+    stem_s2d_applicable,
+)
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+
+def _params(spec, seed=0):
+    return jax.tree_util.tree_map(
+        jnp.asarray, fold_batchnorm(spec, random_raw_params(spec, seed=seed)))
+
+
+def test_applicability_table():
+    assert stem_s2d_applicable(model_spec("yolov3"))
+    assert stem_s2d_applicable(model_spec("yolov3-spp"))
+    # tiny/v2 start conv+maxpool — the pattern doesn't hold
+    assert not stem_s2d_applicable(model_spec("yolov3-tiny"))
+    assert not stem_s2d_applicable(model_spec("yolov2-tiny"))
+
+
+def test_stem_exactness_f64():
+    """The re-parameterization itself is exact: in float64 (reduction-order
+    noise ~1e-16, so the 75-layer chaotic amplification seen in fp32 stays
+    ~1e-10) both paths' heads must agree to ~1e-8."""
+    spec = model_spec("yolov3")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a, dtype=np.float64)),
+            fold_batchnorm(spec, random_raw_params(spec, seed=0)))
+        x = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)))
+        base = build_forward(spec, compute_dtype=jnp.float64)(params, x)
+        s2d = build_forward(spec, compute_dtype=jnp.float64,
+                            stem_s2d=True)(params, x)
+        assert len(base) == len(s2d) == 3
+        for hb, hs in zip(base, s2d):
+            np.testing.assert_allclose(np.asarray(hb), np.asarray(hs),
+                                       rtol=1e-8, atol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_stem_local_parity_fp32():
+    """Layer-1 output (the transform's boundary) matches the natural stem
+    to fp32 rounding — amplification through the rest of the net is a
+    property of random-weight chaos, not of the transform (see f64 test)."""
+    spec = model_spec("yolov3")
+    params = _params(spec)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)),
+                    dtype=jnp.float32)
+    base = build_forward(spec, stop_at=1)(params, x)[0]
+    s2d = build_forward(spec, stem_s2d=True, stop_at=1)(params, x)[0]
+    np.testing.assert_allclose(np.asarray(base), np.asarray(s2d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rejects_inapplicable_and_quant():
+    tiny = model_spec("yolov3-tiny")
+    with pytest.raises(ValueError, match="stem pattern"):
+        build_forward(tiny, stem_s2d=True)
+    spec = model_spec("yolov3")
+    with pytest.raises(ValueError, match="not composable"):
+        build_forward(spec, quant="w8a8", stem_s2d=True)
+
+
+def test_rejects_routed_stem():
+    # A cfg whose route consumes layer 0 must not be transformed.
+    cfg = parse_cfg_text(
+        "[net]\nwidth=64\nheight=64\nchannels=3\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\nstride=1\npad=1\nactivation=leaky\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\nstride=2\npad=1\nactivation=leaky\n"
+        "[route]\nlayers=0\n")
+    spec = build_spec(cfg)
+    assert not stem_s2d_applicable(spec)
+
+
+def test_detector_stem_s2d_end_to_end():
+    from pytorch_yolo_tpu.api import Detector
+
+    spec = model_spec("yolov3")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=2))
+    base = Detector(spec, params)
+    fast = Detector(spec, params, stem_s2d=True)
+    assert fast.stem_s2d and not base.stem_s2d
+    img = np.random.default_rng(2).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    db = base.detect(img, size=128, conf=0.1)
+    ds = fast.detect(img, size=128, conf=0.1)
+    assert db.boxes.shape == ds.boxes.shape
+    np.testing.assert_allclose(db.boxes, ds.boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_env_kill_switch(monkeypatch):
+    from pytorch_yolo_tpu.api import Detector
+
+    spec = model_spec("yolov3")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=3))
+    monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "1")
+    assert Detector(spec, params).stem_s2d
+    tiny = model_spec("yolov3-tiny")
+    tparams = fold_batchnorm(tiny, random_raw_params(tiny, seed=3))
+    assert not Detector(tiny, tparams).stem_s2d  # auto-off when inapplicable
+    monkeypatch.delenv("PYTORCH_YOLO_STEM_S2D")
+    assert not Detector(spec, params).stem_s2d

@@ -176,6 +176,17 @@ def stream_u8():
 guard(25, "stream_u8_bf16", stream_u8)
 guard(26, "stage_profile_bf16_scalar", stage_profile)
 
+# ---- 7. space-to-depth stem (models/darknet.py stem_s2d) -----------------
+os.environ["PYTORCH_YOLO_STEM_S2D"] = "1"
+guard(27, "compute_bf16_s2d",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+guard(28, "compute_bf16_b64_s2d",
+      lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+guard(29, "compute_fp32_highest_s2d",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
+guard(30, "stage_profile_bf16_s2d", stage_profile)
+del os.environ["PYTORCH_YOLO_STEM_S2D"]
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
