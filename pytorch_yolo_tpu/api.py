@@ -133,12 +133,21 @@ class Detector:
         self.precision = precision
         self.quant = quant
         if stem_s2d is None:
-            # Opt-in via env (ops kill-switch symmetry with PYTORCH_YOLO_NO_
-            # PALLAS); auto-off when the model/quant mode can't take it.
+            # Default: ON for reduced-precision serving modes (measured +6%
+            # on-chip bf16, PERF.md round 2), OFF for the fp32 parity mode
+            # (it permutes conv reduction order, which would perturb
+            # bit-faithful comparisons).  Env overrides both ways (ops
+            # kill-switch symmetry with PYTORCH_YOLO_NO_PALLAS).
             from .models.darknet import stem_s2d_applicable
 
-            stem_s2d = (os.environ.get("PYTORCH_YOLO_STEM_S2D") == "1"
-                        and quant is None and stem_s2d_applicable(spec))
+            env = os.environ.get("PYTORCH_YOLO_STEM_S2D")
+            applicable = quant is None and stem_s2d_applicable(spec)
+            if env == "0":
+                stem_s2d = False
+            elif env == "1":
+                stem_s2d = applicable
+            else:
+                stem_s2d = applicable and jnp.dtype(compute_dtype) != jnp.float32
         self.stem_s2d = stem_s2d
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
                                       precision=precision, quant=quant,

@@ -104,15 +104,25 @@ def test_detector_stem_s2d_end_to_end():
     np.testing.assert_allclose(db.boxes, ds.boxes, rtol=1e-4, atol=1e-3)
 
 
-def test_env_kill_switch(monkeypatch):
+def test_default_and_env_policy(monkeypatch):
     from pytorch_yolo_tpu.api import Detector
 
     spec = model_spec("yolov3")
     params = fold_batchnorm(spec, random_raw_params(spec, seed=3))
+    monkeypatch.delenv("PYTORCH_YOLO_STEM_S2D", raising=False)
+    # default: off for the fp32 parity mode, on for reduced-precision serving
+    assert not Detector(spec, params).stem_s2d
+    assert Detector(spec, params, compute_dtype=jnp.bfloat16,
+                    precision="default").stem_s2d
+    assert not Detector(spec, params, quant="w8a8").stem_s2d
+    # env force-on (even fp32) / force-off (even bf16)
     monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "1")
     assert Detector(spec, params).stem_s2d
+    monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "0")
+    assert not Detector(spec, params, compute_dtype=jnp.bfloat16,
+                        precision="default").stem_s2d
+    # auto-off when the model can't take it, even with env force-on
+    monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "1")
     tiny = model_spec("yolov3-tiny")
     tparams = fold_batchnorm(tiny, random_raw_params(tiny, seed=3))
-    assert not Detector(tiny, tparams).stem_s2d  # auto-off when inapplicable
-    monkeypatch.delenv("PYTORCH_YOLO_STEM_S2D")
-    assert not Detector(spec, params).stem_s2d
+    assert not Detector(tiny, tparams).stem_s2d
