@@ -109,6 +109,48 @@ def leader_election_suppress(
     return keep > 0.5
 
 
+def fixpoint_suppress(
+    iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float
+) -> jnp.ndarray:
+    """Greedy NMS as a parallel fixpoint — identical keep-set to
+    :func:`greedy_suppress`, rounds = longest suppression *chain*, not #kept.
+
+    Greedy NMS has a closed-form recursive characterization: a candidate is
+    KEPT iff every higher-ranked overlapping candidate is KILLED, and KILLED
+    iff some higher-ranked KEPT candidate overlaps it.  Iterating that rule
+    over undecided candidates decides, each round, at least the highest-
+    ranked undecided one (all its predecessors are decided), and in practice
+    a whole "layer" of the dependency DAG at once: rounds = depth of the
+    kept/killed alternation chain (2-5 on real box sets), vs one round per
+    kept box for leader election (up to K when most candidates survive).
+    Each round is two masked (K,) x (K, K) reductions — same per-round cost
+    as leader election's one, so the win is the round count."""
+    k = iou.shape[0]
+    row = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    # over[j, i]: strictly higher-ranked j overlaps i (candidates are sorted
+    # by descending score, so rank order == position order)
+    over = (iou > iou_thresh) & (row < col)
+
+    def cond(carry):
+        kept, killed = carry
+        return jnp.any(~(kept | killed))
+
+    def body(carry):
+        kept, killed = carry
+        undecided = ~(kept | killed)
+        # some higher-ranked not-yet-killed candidate overlaps i -> i cannot
+        # be kept this round (if that candidate is KEPT, i dies instead)
+        blocked = jnp.any(over & ~killed[:, None], axis=0)
+        kill_now = jnp.any(over & kept[:, None], axis=0)
+        return (kept | (undecided & ~blocked),
+                killed | (undecided & kill_now))
+
+    kept, _ = lax.while_loop(cond, body,
+                             (jnp.zeros((k,), bool), ~valid))
+    return kept
+
+
 def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
     """Sequential greedy NMS over score-sorted candidates.
 
@@ -159,7 +201,7 @@ def _nms_single(
     iou = iou_matrix(boxes)
     if not class_agnostic:
         iou = iou * (cls_id[:, None] == cls_id[None, :])
-    keep = greedy_suppress(iou, valid, iou_thresh)
+    keep = fixpoint_suppress(iou, valid, iou_thresh)
     return NMSResult(boxes=boxes, obj=obj, cls_score=cls_score, cls_id=cls_id, valid=keep)
 
 
@@ -204,7 +246,7 @@ def batched_nms_fused(
             iou = iou_matrix(b)
             if not class_agnostic:
                 iou = iou * (jnp.abs(c[:, None] - c[None, :]) < 0.5)
-            return leader_election_suppress(iou, v, iou_thresh)
+            return fixpoint_suppress(iou, v, iou_thresh)
 
         keep = jax.vmap(suppress)(boxes, valid, cls_f)
     return NMSResult(boxes=boxes, obj=sel[..., 4], cls_score=sel[..., 5],

@@ -208,27 +208,35 @@ def decode_score_all(
 # ===========================================================================
 
 
-def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch,
-                keep_s, und_s, done_s, *,
+def _nms_kernel(boxes_ref, rank_ref, cls_ref, tri_ref, keep_ref, over_scratch,
+                keep_s, kill_s, done_s, *,
                 k: int, iou_thresh: float, class_wise: bool):
     """Greedy suppression over K score-sorted candidates, all in VMEM.
 
-    Leader election: each round keeps the highest-ranked undecided candidate
-    (exactly the next greedy keep — nothing above it can still suppress it)
-    and eliminates everything it overlaps, so live rounds = number of *kept*
-    boxes.  The loop is a bounded fori (Mosaic while lowering hangs on this
-    toolchain — measured, not assumed) with a done flag: once every
-    candidate is decided the remaining rounds are predicated no-ops
-    (``pl.when``), skipping the matvec entirely.
+    Fixpoint formulation of greedy NMS (same keep-set, proven by the
+    keep-set property tests): a candidate is KEPT iff every higher-ranked
+    overlapping candidate is KILLED, KILLED iff some higher-ranked KEPT
+    candidate overlaps it.  Each round applies the rule to every undecided
+    candidate at once (two (1,K)x(K,K) matvecs), so live rounds = depth of
+    the kept/killed dependency chain — a handful on real box sets — where
+    the previous leader-election kernel ran one round per *kept* box (up to
+    K when most candidates survive; it was the pipeline's second-largest
+    stage at 4.6 ms/batch-16, PERF.md round 2).  The loop is a bounded fori
+    (Mosaic while lowering hangs on this toolchain — measured, not assumed)
+    with a done flag: once every candidate is decided the remaining rounds
+    are predicated no-ops (``pl.when``).
 
     boxes_ref:  (1, K, 4) corner boxes
     rank_ref:   (1, K, 1) f32 strictly-decreasing positive ranks; <= 0 marks
                 invalid (conf-filtered / padding) rows
     cls_ref:    (1, K, 1) f32 class ids (suppression masked to equal classes
                 when ``class_wise``)
+    tri_ref:    (K, K) f32 strict upper-triangle mask, tri[j, i] = 1 iff
+                j < i (XLA-side constant: Mosaic rejects in-kernel
+                iota->float casts — CLAUDE.md landmines)
     keep_ref:   (1, K, 1) f32 out
-    over_scratch: (K, K) f32 binarized overlap matrix
-    keep_s/und_s: (1, K) f32 VMEM state; done_s: (1,) i32 SMEM flag
+    over_scratch: (K, K) f32 binarized rank-masked overlap matrix
+    keep_s/kill_s: (1, K) f32 VMEM state; done_s: (1,) i32 SMEM flag
     """
     b = boxes_ref[0]
     x1, y1, x2, y2 = b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
@@ -244,19 +252,22 @@ def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch,
     if class_wise:
         cls = cls_ref[0, :, 0].reshape(k, 1)
         over = over * jnp.where(jnp.abs(cls - cls.T) < 0.5, 1.0, 0.0)
-    over_scratch[:] = over
+    # over[j, i]: strictly higher-ranked j overlaps i
+    over_scratch[:] = over * tri_ref[:]
 
     rank_row = rank_ref[0, :, 0].reshape(1, k)
+    valid_row = jnp.where(rank_row > 0.0, 1.0, 0.0)
     keep_s[:] = jnp.zeros((1, k), jnp.float32)
-    und_s[:] = jnp.where(rank_row > 0.0, 1.0, 0.0)
+    kill_s[:] = 1.0 - valid_row  # invalid rows: decided-dead, never block
     done_s[0] = 0
 
     def body(_, carry):
         @pl.when(done_s[0] == 0)
         def _():
-            undecided = und_s[:]
-            sel = jnp.where(undecided > 0.0, rank_row, -1.0)
-            m = jnp.max(sel)
+            kept = keep_s[:]
+            killed = kill_s[:]
+            und = (1.0 - kept) * (1.0 - killed)
+            m = jnp.max(und)
 
             @pl.when(m <= 0.0)
             def _():
@@ -264,12 +275,13 @@ def _nms_kernel(boxes_ref, rank_ref, cls_ref, keep_ref, over_scratch,
 
             @pl.when(m > 0.0)
             def _():
-                lead = jnp.where(sel >= m, 1.0, 0.0) * undecided
-                keep_s[:] = keep_s[:] + lead
-                # leader's overlap row: one-hot matvec vs binarized matrix
-                ov = jnp.dot(lead, over_scratch[:],
-                             preferred_element_type=jnp.float32)
-                und_s[:] = undecided * (1.0 - jnp.minimum(ov, 1.0)) * (1.0 - lead)
+                ov = over_scratch[:]
+                blocked = jnp.dot(1.0 - killed, ov,
+                                  preferred_element_type=jnp.float32)
+                kill_now = jnp.dot(kept, ov,
+                                   preferred_element_type=jnp.float32)
+                keep_s[:] = kept + und * (1.0 - jnp.minimum(blocked, 1.0))
+                kill_s[:] = killed + und * jnp.minimum(kill_now, 1.0)
 
         return carry
 
@@ -309,6 +321,10 @@ def nms_keep_pallas(
     pos_rank = jnp.asarray(
         np.arange(kp, 0, -1, dtype=np.float32).reshape(1, kp, 1))
     rank = jnp.where(valid[..., None], pos_rank, 0.0)
+    # strict upper triangle (tri[j, i] = 1 iff j < i): rank-order mask,
+    # precomputed host-side (in-kernel iota->float casts are rejected by
+    # this Mosaic toolchain)
+    tri = jnp.asarray(np.triu(np.ones((kp, kp), np.float32), 1))
 
     kernel = functools.partial(_nms_kernel, k=kp, iou_thresh=iou_thresh,
                                class_wise=class_wise)
@@ -319,6 +335,7 @@ def nms_keep_pallas(
             pl.BlockSpec((1, kp, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, kp), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kp, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, kp, 1), jnp.float32),
@@ -329,5 +346,5 @@ def nms_keep_pallas(
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=(not _on_tpu()) if interpret is None else interpret,
-    )(boxes, rank, cls[..., None])
+    )(boxes, rank, cls[..., None], tri)
     return keep[:, :k, 0] > 0.5

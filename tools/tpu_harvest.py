@@ -187,6 +187,18 @@ guard(29, "compute_fp32_highest_s2d",
 guard(30, "stage_profile_bf16_s2d", stage_profile)
 del os.environ["PYTORCH_YOLO_STEM_S2D"]
 
+# ---- 8. fixpoint NMS (reworked Pallas kernel + XLA path) -----------------
+# New kernel program hash => fresh Mosaic compile: risky-last, tiny first.
+guard(31, "pallas_proof_fixpoint", pallas_proof)
+guard(32, "pipeline_profile_fixpoint_fused", lambda: profiles(True))
+guard(33, "pipeline_profile_fixpoint_unfused", lambda: profiles(False))
+guard(34, "compute_bf16_final",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+guard(35, "compute_bf16_b64_final",
+      lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+guard(36, "compute_fp32_highest_final",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
