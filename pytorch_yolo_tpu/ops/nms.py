@@ -11,10 +11,12 @@ that compiles on TPU.  The TPU-native design is fully static:
   3. center->corner conversion + a (K, K) IoU matrix **masked by class
      equality** (iou := iou * [cls_i == cls_j]) — one pass performs
      class-wise NMS with no per-class loop (SURVEY.md §7 hard parts);
-  4. greedy suppression with fixed shapes: either the sequential K-step
-     ``fori_loop`` (:func:`greedy_suppress`, the simple oracle) or
-     **leader election** (:func:`leader_election_suppress` / the Pallas
-     kernel) — provably the same keep-set, one round per *kept* box.
+  4. greedy suppression with fixed shapes: the **parallel fixpoint**
+     (:func:`fixpoint_suppress` / the Pallas kernel) — provably the same
+     keep-set as sequential greedy, rounds = suppression-chain depth
+     (typically 2-5).  :func:`greedy_suppress` (sequential K-step oracle)
+     and :func:`leader_election_suppress` (one round per kept box) are
+     retained as property-test oracles.
 
 Output is a fixed (N, K, 7) tensor [x1, y1, x2, y2, obj, cls_score, cls_id]
 (reference row format, SURVEY.md §1 L4) plus a validity mask; downstream code

@@ -199,6 +199,22 @@ guard(35, "compute_bf16_b64_final",
 guard(36, "compute_fp32_highest_final",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
 
+# ---- 9. coverage rows: parity-at-speed, latency, scaling, model zoo ------
+guard(37, "compute_fp32_high",  # measured bit-identical to HIGHEST on TPU
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "high"))
+guard(38, "compute_bf16_b128",
+      lambda: bench.measure_compute(MODEL, 416, 8 * B, max(ITERS // 4, 5), "bfloat16", "default"))
+guard(39, "compute_bf16_b1_latency",
+      lambda: bench.measure_compute(MODEL, 416, 1, 3 * ITERS, "bfloat16", "default"))
+guard(40, "tiny_compute_bf16_b64",
+      lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
+guard(41, "tiny_compute_fp32_highest_b64",
+      lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "float32", "highest"))
+guard(42, "spp_compute_bf16_b64",
+      lambda: bench.measure_compute("yolov3-spp", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+guard(43, "v2_compute_bf16_b64",
+      lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
