@@ -11,8 +11,10 @@ is ~0.05 GB/s — raw-frame *transfer* alone caps any e2e number at ~65
 img/s regardless of compute, understating the framework by >10x vs a
 production host (PCIe ~3 orders faster), so the host->device hop is
 excluded from the headline and reported separately (--mode batch /
-pipelined rows in --sweep; bf16 box drift vs fp32 parity mode is bounded
-on hardware at 0.000 px p99 / 0.992 detection-set agreement).  fp32
+pipelined rows in --sweep; the shipped bf16 default config — S2D stem +
+fixpoint Pallas NMS — has its box drift vs the fp32 parity mode bounded on
+hardware at 0.000 px p99 / 0.990 detection-set agreement, harvest r2
+session 7).  fp32
 HIGHEST remains the bit-faithful parity mode (--dtype float32
 --precision highest, SURVEY.md §7).
 
@@ -479,11 +481,11 @@ def main() -> None:
                         log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
             for dtype, prec in (("float32", "highest"), ("bfloat16", "default"),
                                 ("int8", "default")):
-                for fn in (measure_compute, ):
-                    try:
-                        fn(args.model, args.size, 16, args.iters, dtype, prec)
-                    except Exception as e:
-                        log(f"compute sweep {dtype} failed: {e}")
+                try:
+                    measure_compute(args.model, args.size, 16, args.iters,
+                                    dtype, prec)
+                except Exception as e:
+                    log(f"compute sweep {dtype} failed: {e}")
                 try:
                     measure_tpu_pipelined(args.model, args.size, 16, args.iters,
                                           dtype, prec)

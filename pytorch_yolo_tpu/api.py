@@ -147,7 +147,10 @@ class Detector:
             elif env == "1":
                 stem_s2d = applicable
             else:
-                stem_s2d = applicable and jnp.dtype(compute_dtype) != jnp.float32
+                # allowlist, not "anything non-f32": f64 is the exactness-
+                # pinning dtype and must keep the reference reduction order
+                stem_s2d = applicable and jnp.dtype(compute_dtype) in (
+                    jnp.bfloat16, jnp.float16)
         self.stem_s2d = stem_s2d
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
                                       precision=precision, quant=quant,

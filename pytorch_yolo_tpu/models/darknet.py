@@ -268,6 +268,18 @@ def build_forward(
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
         start = 0
+        if stem_s2d and stop_at == 0:
+            # Truncated-at-the-stem profile of the graph that actually runs:
+            # packed conv0 output (S2D layout, (N, H/2, W/2, 4*O0)) — NOT the
+            # natural conv0, which the s2d forward never executes.
+            pw0, pb0, _ = _pack_stem_s2d(
+                params[0]["w"], params[0]["b"], params[1]["w"])
+            y = _space_to_depth(x).astype(dtype)
+            y = lax.conv_general_dilated(
+                y, pw0.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=_CONV_DIMS,
+                preferred_element_type=acc_dtype, precision=precision)
+            return (_epilogue(y, pb0),)
         if stem_s2d and (stop_at is None or stop_at >= 1):
             # Packed at trace time from the canonical params (36 + 9 tiny
             # slice writes — XLA folds them; the pytree layout is untouched

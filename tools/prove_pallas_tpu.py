@@ -153,9 +153,8 @@ def _run_once(args) -> int:
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    with open(args.out, "w") as sink:
-        err_path = args.out + ".stderr"
-        err_sink = open(err_path, "w")
+    # append: a retry must not truncate evidence a previous attempt banked
+    with open(args.out, "a") as sink, open(args.out + ".stderr", "a") as err_sink:
         proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
                                 stdout=subprocess.PIPE, stderr=err_sink,
                                 text=True, env=env, cwd=repo)

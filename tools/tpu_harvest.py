@@ -174,7 +174,8 @@ def stream_u8():
     return n / (time.perf_counter() - t0)
 
 guard(25, "stream_u8_bf16", stream_u8)
-guard(26, "stage_profile_bf16_scalar", stage_profile)
+# (step 26 was a duplicate scalar-fetch stage profile; retired — step 16
+# runs the same measurement since the profiler fix landed)
 
 # ---- 7. space-to-depth stem (models/darknet.py stem_s2d) -----------------
 os.environ["PYTORCH_YOLO_STEM_S2D"] = "1"
@@ -215,6 +216,12 @@ guard(42, "spp_compute_bf16_b64",
 guard(43, "v2_compute_bf16_b64",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
 
+# ---- 10. drift of the SHIPPED serving defaults -----------------------------
+# Sessions 1-2 measured bf16 drift before stem_s2d/fixpoint-NMS became the
+# bf16 defaults; this re-measures the exact configuration the headline runs.
+guard(44, "drift_serving_defaults",
+      lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
@@ -224,10 +231,11 @@ def run_once(args) -> tuple[int, bool]:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     done = False
-    with open(args.out, "a") as sink:
+    with open(args.out, "a") as sink, \
+            open(args.out + ".stderr", "a") as err_sink:
         proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
                                 stdout=subprocess.PIPE,
-                                stderr=open(args.out + ".stderr", "a"),
+                                stderr=err_sink,
                                 text=True, env=env, cwd=repo)
         # hard watchdog: a silent hang produces no lines, so the reader loop
         # alone can't enforce the bound
