@@ -134,21 +134,32 @@ def _upsample(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return y.reshape(n, h * stride, w * stride, c)
 
 
-def stem_s2d_applicable(spec: ModelSpec) -> bool:
-    """True when the first two layers are the Darknet-53 stem pattern
-    (3x3 stride-1 conv, then 3x3 stride-2 conv, neither output routed to)
-    that :func:`build_forward(stem_s2d=True)` can re-parameterize."""
+def _stem_pattern(spec: ModelSpec) -> str | None:
+    """Which space-to-depth re-parameterization the model's stem admits.
+
+    ``"conv_conv"``: 3x3/s1 conv + 3x3/s2 conv (Darknet-53 — yolov3/spp).
+    ``"conv_pool"``: 3x3/s1 conv + 2x2/s2 maxpool (tiny/v2 family) — the
+    maxpool becomes a free max over the 4 phase channel groups.
+    ``None``: stem not transformable (or layer 0's output is routed to)."""
     layers = spec.layers
-    needed = _needed_outputs(spec)
-    return (
-        len(layers) >= 2
-        and isinstance(layers[0], ConvSpec)
-        and isinstance(layers[1], ConvSpec)
-        and layers[0].size == 3 and layers[0].stride == 1 and layers[0].padding == 1
-        and layers[1].size == 3 and layers[1].stride == 2 and layers[1].padding == 1
-        and layers[0].activation == "leaky" and layers[1].activation == "leaky"
-        and 0 not in needed
-    )
+    if len(layers) < 2 or 0 in _needed_outputs(spec):
+        return None
+    l0, l1 = layers[0], layers[1]
+    if not (isinstance(l0, ConvSpec) and l0.size == 3 and l0.stride == 1
+            and l0.padding == 1 and l0.activation == "leaky"):
+        return None
+    if (isinstance(l1, ConvSpec) and l1.size == 3 and l1.stride == 2
+            and l1.padding == 1 and l1.activation == "leaky"):
+        return "conv_conv"
+    if isinstance(l1, MaxPoolSpec) and l1.size == 2 and l1.stride == 2:
+        return "conv_pool"
+    return None
+
+
+def stem_s2d_applicable(spec: ModelSpec) -> bool:
+    """True when :func:`build_forward(stem_s2d=True)` can re-parameterize
+    the model's stem (see :func:`_stem_pattern`)."""
+    return _stem_pattern(spec) is not None
 
 
 def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
@@ -173,6 +184,12 @@ def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
     ~75% / ~44% of the packed MACs are those structural zeros (+~2% model
     FLOPs total) — traded for full-width MXU tiles on what were the two
     worst-utilized layers."""
+    pw0, pb0 = _pack_s2d_conv0(w0, b0)
+    return pw0, pb0, _pack_s2d_conv1(w1)
+
+
+def _pack_s2d_conv0(w0: jnp.ndarray, b0: jnp.ndarray):
+    """3x3/s1 conv -> 3x3 block-space conv over S2D input (see above)."""
     k0h, k0w, c0, o0 = w0.shape
     pw0 = jnp.zeros((3, 3, 4 * c0, 4 * o0), w0.dtype)
     for a in range(2):
@@ -184,7 +201,11 @@ def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
                     ci = (dy * 2 + dx) * c0
                     oi = (a * 2 + b) * o0
                     pw0 = pw0.at[di, dj, ci:ci + c0, oi:oi + o0].set(w0[r, s])
-    pb0 = jnp.tile(b0, 4)
+    return pw0, jnp.tile(b0, 4)
+
+
+def _pack_s2d_conv1(w1: jnp.ndarray):
+    """3x3/s2 conv -> 2x2 stride-1 block-space conv consuming phase channels."""
     k1h, k1w, c1, o1 = w1.shape
     pw1 = jnp.zeros((2, 2, 4 * c1, o1), w1.dtype)
     for r in range(3):
@@ -193,7 +214,7 @@ def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
             dj, b = (s - 1) // 2 + 1, (s - 1) % 2
             ci = (a * 2 + b) * c1
             pw1 = pw1.at[di, dj, ci:ci + c1, :].set(w1[r, s])
-    return pw0, pb0, pw1
+    return pw1
 
 
 def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
@@ -240,9 +261,10 @@ def build_forward(
             raise ValueError("stem_s2d is a fp/bf16 path; not composable with "
                              "int8 quant (the stem convs carry int8 weights)")
         if not stem_s2d_applicable(spec):
-            raise ValueError("model's first two layers are not the "
-                             "conv3x3/s1 + conv3x3/s2 stem pattern "
-                             "(see stem_s2d_applicable)")
+            raise ValueError("model's first two layers are not a "
+                             "transformable stem pattern "
+                             "(see stem_s2d_applicable / _stem_pattern)")
+    pattern = _stem_pattern(spec) if stem_s2d else None
     needed = _needed_outputs(spec)
     layers = spec.layers
     dtype = jnp.dtype(compute_dtype)
@@ -268,35 +290,35 @@ def build_forward(
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
         start = 0
+        def _packed_conv0(xx):
+            # Packed at trace time from the canonical params (tiny slice
+            # writes — XLA folds them; the pytree layout is untouched so
+            # checkpoints/quant/sharding never see the transform).
+            pw0, pb0 = _pack_s2d_conv0(params[0]["w"], params[0]["b"])
+            y = _space_to_depth(xx).astype(dtype)
+            y = lax.conv_general_dilated(
+                y, pw0.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=_CONV_DIMS,
+                preferred_element_type=acc_dtype, precision=precision)
+            return _epilogue(y, pb0)
+
         if stem_s2d and stop_at == 0:
             # Truncated-at-the-stem profile of the graph that actually runs:
             # packed conv0 output (S2D layout, (N, H/2, W/2, 4*O0)) — NOT the
             # natural conv0, which the s2d forward never executes.
-            pw0, pb0, _ = _pack_stem_s2d(
-                params[0]["w"], params[0]["b"], params[1]["w"])
-            y = _space_to_depth(x).astype(dtype)
-            y = lax.conv_general_dilated(
-                y, pw0.astype(dtype), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=_CONV_DIMS,
-                preferred_element_type=acc_dtype, precision=precision)
-            return (_epilogue(y, pb0),)
+            return (_packed_conv0(x),)
         if stem_s2d and (stop_at is None or stop_at >= 1):
-            # Packed at trace time from the canonical params (36 + 9 tiny
-            # slice writes — XLA folds them; the pytree layout is untouched
-            # so checkpoints/quant/sharding never see the transform).
-            pw0, pb0, pw1 = _pack_stem_s2d(
-                params[0]["w"], params[0]["b"], params[1]["w"])
-            y = _space_to_depth(x).astype(dtype)
-            y = lax.conv_general_dilated(
-                y, pw0.astype(dtype), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=_CONV_DIMS,
-                preferred_element_type=acc_dtype, precision=precision)
-            y = _epilogue(y, pb0)
-            y = lax.conv_general_dilated(
-                y, pw1.astype(dtype), (1, 1), ((1, 0), (1, 0)),
-                dimension_numbers=_CONV_DIMS,
-                preferred_element_type=acc_dtype, precision=precision)
-            x = _epilogue(y, params[1]["b"])
+            y = _packed_conv0(x)
+            if pattern == "conv_conv":
+                pw1 = _pack_s2d_conv1(params[1]["w"])
+                y = lax.conv_general_dilated(
+                    y, pw1.astype(dtype), (1, 1), ((1, 0), (1, 0)),
+                    dimension_numbers=_CONV_DIMS,
+                    preferred_element_type=acc_dtype, precision=precision)
+                x = _epilogue(y, params[1]["b"])
+            else:  # conv_pool: 2x2/s2 maxpool == max over the 4 phase groups
+                n_, h2, w2, c4 = y.shape
+                x = jnp.max(y.reshape(n_, h2, w2, 4, c4 // 4), axis=3)
             if 1 in needed:
                 cache[1] = x
             start = 2

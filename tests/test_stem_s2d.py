@@ -26,18 +26,25 @@ def _params(spec, seed=0):
 
 
 def test_applicability_table():
-    assert stem_s2d_applicable(model_spec("yolov3"))
-    assert stem_s2d_applicable(model_spec("yolov3-spp"))
-    # tiny/v2 start conv+maxpool — the pattern doesn't hold
-    assert not stem_s2d_applicable(model_spec("yolov3-tiny"))
-    assert not stem_s2d_applicable(model_spec("yolov2-tiny"))
+    from pytorch_yolo_tpu.models.darknet import _stem_pattern
+
+    assert _stem_pattern(model_spec("yolov3")) == "conv_conv"
+    assert _stem_pattern(model_spec("yolov3-spp")) == "conv_conv"
+    # tiny/v2 start conv + 2x2/s2 maxpool — the pool becomes a phase max
+    assert _stem_pattern(model_spec("yolov3-tiny")) == "conv_pool"
+    assert _stem_pattern(model_spec("yolov2-tiny")) == "conv_pool"
+    assert _stem_pattern(model_spec("yolov2")) == "conv_pool"
+    assert stem_s2d_applicable(model_spec("yolov3-tiny"))
 
 
-def test_stem_exactness_f64():
-    """The re-parameterization itself is exact: in float64 (reduction-order
-    noise ~1e-16, so the 75-layer chaotic amplification seen in fp32 stays
-    ~1e-10) both paths' heads must agree to ~1e-8."""
-    spec = model_spec("yolov3")
+@pytest.mark.parametrize("model,n_heads",
+                         [("yolov3", 3), ("yolov3-tiny", 2), ("yolov2", 1)])
+def test_stem_exactness_f64(model, n_heads):
+    """The re-parameterization itself is exact for BOTH stem patterns
+    (conv_conv and conv_pool): in float64 (reduction-order noise ~1e-16, so
+    the deep-net chaotic amplification seen in fp32 stays ~1e-10) both
+    paths' heads must agree to ~1e-8."""
+    spec = model_spec(model)
     jax.config.update("jax_enable_x64", True)
     try:
         params = jax.tree_util.tree_map(
@@ -47,7 +54,7 @@ def test_stem_exactness_f64():
         base = build_forward(spec, compute_dtype=jnp.float64)(params, x)
         s2d = build_forward(spec, compute_dtype=jnp.float64,
                             stem_s2d=True)(params, x)
-        assert len(base) == len(s2d) == 3
+        assert len(base) == len(s2d) == n_heads
         for hb, hs in zip(base, s2d):
             np.testing.assert_allclose(np.asarray(hb), np.asarray(hs),
                                        rtol=1e-8, atol=1e-8)
@@ -55,11 +62,13 @@ def test_stem_exactness_f64():
         jax.config.update("jax_enable_x64", False)
 
 
-def test_stem_local_parity_fp32():
+@pytest.mark.parametrize("model", ["yolov3", "yolov3-tiny"])
+def test_stem_local_parity_fp32(model):
     """Layer-1 output (the transform's boundary) matches the natural stem
     to fp32 rounding — amplification through the rest of the net is a
-    property of random-weight chaos, not of the transform (see f64 test)."""
-    spec = model_spec("yolov3")
+    property of random-weight chaos, not of the transform (see f64 test).
+    conv_pool's phase max is bit-exact (no arithmetic reordering at all)."""
+    spec = model_spec(model)
     params = _params(spec)
     x = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)),
                     dtype=jnp.float32)
@@ -70,9 +79,13 @@ def test_stem_local_parity_fp32():
 
 
 def test_rejects_inapplicable_and_quant():
-    tiny = model_spec("yolov3-tiny")
+    # a stem whose first conv is 1x1 admits no transform
+    cfg = parse_cfg_text(
+        "[net]\nwidth=64\nheight=64\nchannels=3\n"
+        "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=1\nstride=1\npad=1\nactivation=leaky\n"
+        "[maxpool]\nsize=2\nstride=2\n")
     with pytest.raises(ValueError, match="stem pattern"):
-        build_forward(tiny, stem_s2d=True)
+        build_forward(build_spec(cfg), stem_s2d=True)
     spec = model_spec("yolov3")
     with pytest.raises(ValueError, match="not composable"):
         build_forward(spec, quant="w8a8", stem_s2d=True)
@@ -121,8 +134,11 @@ def test_default_and_env_policy(monkeypatch):
     monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "0")
     assert not Detector(spec, params, compute_dtype=jnp.bfloat16,
                         precision="default").stem_s2d
-    # auto-off when the model can't take it, even with env force-on
-    monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "1")
+    # tiny is now transformable (conv_pool) — default-on for bf16 serving
     tiny = model_spec("yolov3-tiny")
     tparams = fold_batchnorm(tiny, random_raw_params(tiny, seed=3))
-    assert not Detector(tiny, tparams).stem_s2d
+    monkeypatch.delenv("PYTORCH_YOLO_STEM_S2D")
+    assert Detector(tiny, tparams, compute_dtype=jnp.bfloat16,
+                    precision="default").stem_s2d
+    # f64 (exactness pinning) must keep the reference reduction order
+    assert not Detector(spec, params, compute_dtype=jnp.float64).stem_s2d

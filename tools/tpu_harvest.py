@@ -222,6 +222,14 @@ guard(43, "v2_compute_bf16_b64",
 guard(44, "drift_serving_defaults",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
 
+# ---- 11. conv_pool stem S2D (tiny/v2 family) -----------------------------
+# Steps 40/43 measured these models BEFORE the conv+maxpool stem became
+# transformable — these rows isolate the conv_pool S2D delta (bf16 default).
+guard(45, "tiny_compute_bf16_b64_s2d",
+      lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
+guard(46, "v2_compute_bf16_b64_s2d",
+      lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
