@@ -138,19 +138,25 @@ class Detector:
             # (it permutes conv reduction order, which would perturb
             # bit-faithful comparisons).  Env overrides both ways (ops
             # kill-switch symmetry with PYTORCH_YOLO_NO_PALLAS).
-            from .models.darknet import stem_s2d_applicable
+            from .models.darknet import _stem_pattern
 
             env = os.environ.get("PYTORCH_YOLO_STEM_S2D")
-            applicable = quant is None and stem_s2d_applicable(spec)
+            pattern = _stem_pattern(spec) if quant is None else None
             if env == "0":
                 stem_s2d = False
             elif env == "1":
-                stem_s2d = applicable
+                stem_s2d = pattern is not None
             else:
-                # allowlist, not "anything non-f32": f64 is the exactness-
-                # pinning dtype and must keep the reference reduction order
-                stem_s2d = applicable and jnp.dtype(compute_dtype) in (
-                    jnp.bfloat16, jnp.float16)
+                # Data-driven default: only the conv_conv (Darknet-53) stem
+                # measured faster on TPU (+6% bf16); conv_pool (tiny/v2) was
+                # measured a net LOSS (-12%/-7%, PERF.md r2 sessions 8-9 —
+                # the 4x structural-zero FLOPs outweigh the tiny stem's MXU
+                # win), so it stays opt-in via env=1 / stem_s2d=True.
+                # Allowlist of dtypes, not "anything non-f32": f64 is the
+                # exactness-pinning dtype and must keep reference order.
+                stem_s2d = (pattern == "conv_conv"
+                            and jnp.dtype(compute_dtype) in (jnp.bfloat16,
+                                                             jnp.float16))
         self.stem_s2d = stem_s2d
         self._forward = build_forward(spec, compute_dtype=compute_dtype,
                                       precision=precision, quant=quant,

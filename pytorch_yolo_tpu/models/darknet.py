@@ -317,8 +317,13 @@ def build_forward(
                     preferred_element_type=acc_dtype, precision=precision)
                 x = _epilogue(y, params[1]["b"])
             else:  # conv_pool: 2x2/s2 maxpool == max over the 4 phase groups
-                n_, h2, w2, c4 = y.shape
-                x = jnp.max(y.reshape(n_, h2, w2, 4, c4 // 4), axis=3)
+                # static channel slices, not reshape(..., 4, O).max(3): the
+                # 5-D reshape splits the minor (lane) dim and costs a
+                # materialized relayout on TPU
+                o = y.shape[-1] // 4
+                x = jnp.maximum(
+                    jnp.maximum(y[..., :o], y[..., o:2 * o]),
+                    jnp.maximum(y[..., 2 * o:3 * o], y[..., 3 * o:]))
             if 1 in needed:
                 cache[1] = x
             start = 2
