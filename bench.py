@@ -221,7 +221,7 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
     assert len(out) == n
     ips = n / dt
     log(f"{model}@{size} pipelined transfer={transfer} batch={batch} "
-        f"dtype={compute_dtype if not quant else 'int8'}/{precision}: "
+        f"dtype={dtype_label}/{precision}: "
         f"{ips:.1f} img/s")
     return ips
 
@@ -243,12 +243,15 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
         enable_compilation_cache()
 
-    quant = None
-    if compute_dtype == "int8":
+    rng = np.random.default_rng(0)
+    dtype_label, quant, calib = compute_dtype, None, None
+    if compute_dtype in ("int8", "int8s"):
+        if compute_dtype == "int8s":  # static calibrated activation scales
+            calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+                     for _ in range(4)]
         quant, compute_dtype = "w8a8", "float32"
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
-                        precision=precision, quant=quant)
-    rng = np.random.default_rng(0)
+                        precision=precision, quant=quant, quant_calib=calib)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,
@@ -262,7 +265,7 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     log(f"{model}@{size} ON-CHIP (device-resident input) batch={batch} "
-        f"dtype={compute_dtype if not quant else 'int8'}/{precision}: "
+        f"dtype={dtype_label}/{precision}: "
         f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
     return ips
 

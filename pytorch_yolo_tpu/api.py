@@ -108,6 +108,7 @@ class Detector:
         quant_skip_layers: "object" = "heads",
         keep_fp32_params: bool = True,
         stem_s2d: bool | None = None,
+        quant_calib: "Sequence[np.ndarray] | None" = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -126,9 +127,30 @@ class Detector:
             # quantized here, once, at construction (no-op per layer if
             # already int8).  quant_skip_layers="heads" (default) keeps the
             # detection-head output convs in fp — the int8 mAP-killer.
-            from .ops.quant import quantize_params
+            from .ops.quant import collect_act_scales, quantize_params
 
-            params = quantize_params(spec, params, skip_layers=quant_skip_layers)
+            act_scales = None
+            if quant_calib is not None:
+                # Static activation scales: run the fp32 forward once on the
+                # letterboxed calibration images; the compiled int8 program
+                # then skips every per-conv dynamic max|x| reduction (the
+                # serialization that made dynamic int8 slower than bf16 on
+                # TPU — PERF.md round 2).
+                if any("wq" in p for p in params.values()):
+                    raise ValueError(
+                        "quant_calib requires fp32 params (calibration runs "
+                        "the fp forward); these arrived pre-quantized")
+                from .ops.preprocess import letterbox_host
+
+                s = (spec.net.height, spec.net.width)
+                canvases = np.stack([
+                    letterbox_host(_normalize_channels(im), s,
+                                   method=interp)[0]
+                    for im in quant_calib])
+                act_scales = collect_act_scales(spec, params, canvases)
+            params = quantize_params(spec, params,
+                                     skip_layers=quant_skip_layers,
+                                     act_scales=act_scales)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.precision = precision
         self.quant = quant
@@ -221,6 +243,7 @@ class Detector:
         use_pallas: bool | None = None,
         score_mode: str = "obj",
         stem_s2d: bool | None = None,
+        quant_calib: "Sequence[np.ndarray] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -243,7 +266,8 @@ class Detector:
                   mesh=mesh, compute_dtype=compute_dtype, precision=precision,
                   cfg_text=cfg_text, interp=interp, quant=quant,
                   quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
-                  score_mode=score_mode, stem_s2d=stem_s2d)
+                  score_mode=score_mode, stem_s2d=stem_s2d,
+                  quant_calib=quant_calib)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
 

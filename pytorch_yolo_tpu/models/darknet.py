@@ -230,6 +230,7 @@ def build_forward(
     quant: str | None = None,
     stop_at: int | None = None,
     stem_s2d: bool = False,
+    collect_conv_in_absmax: bool = False,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -289,6 +290,7 @@ def build_forward(
     def apply(params: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
+        stats: dict[int, jnp.ndarray] = {}
         start = 0
         def _packed_conv0(xx):
             # Packed at trace time from the canonical params (tiny slice
@@ -330,10 +332,13 @@ def build_forward(
         for layer in layers[start: len(layers) if stop_at is None else stop_at + 1]:
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
+                if collect_conv_in_absmax:  # int8 calibration pass
+                    stats[layer.index] = jnp.max(jnp.abs(x))
                 if quant is not None and "wq" in p:
                     from ..ops.quant import quantized_conv
 
-                    x = quantized_conv(x, p["wq"], p["ws"], p["b"], layer)
+                    x = quantized_conv(x, p["wq"], p["ws"], p["b"], layer,
+                                       sx=p.get("sa"))
                 else:
                     x = _conv(x, p["w"], p["b"], layer, dtype, precision)
             elif isinstance(layer, MaxPoolSpec):
@@ -354,6 +359,8 @@ def build_forward(
                 cache[layer.index] = x
         if stop_at is not None:
             return (x,)  # truncated run: the cut layer's output
+        if collect_conv_in_absmax:
+            return tuple(heads), stats
         return tuple(heads)
 
     return apply

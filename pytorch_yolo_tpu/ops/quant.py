@@ -51,14 +51,21 @@ def head_conv_indices(spec: ModelSpec) -> frozenset[int]:
 
 
 def quantize_params(spec: ModelSpec, params: dict,
-                    skip_layers: "Container[int] | str" = "heads") -> dict:
+                    skip_layers: "Container[int] | str" = "heads",
+                    act_scales: "dict[int, float] | None" = None) -> dict:
     """BN-folded fp32 params -> per-layer int8 weights + scales.
 
     Input pytree: ``{idx: {"w": HWIO f32, "b": (O,) f32}}`` (the framework's
     canonical folded layout).  Output adds, for quantized layers,
     ``{"wq": HWIO int8, "ws": (O,) f32}`` and drops ``"w"``; layers in
     ``skip_layers`` keep their fp32 kernel untouched.  The default
-    ``"heads"`` skips the detection-head output convs (see module doc)."""
+    ``"heads"`` skips the detection-head output convs (see module doc).
+
+    ``act_scales`` (from :func:`collect_act_scales`) bakes a **static**
+    per-layer activation scale ``"sa"`` into the pytree: the compiled
+    program then skips the per-conv dynamic ``max|x|`` reduction — the
+    serialization point that made dynamic int8 slower than bf16 on TPU
+    (measured, PERF.md round 2)."""
     if skip_layers == "heads":
         skip_layers = head_conv_indices(spec)
     out = {}
@@ -72,16 +79,44 @@ def quantize_params(spec: ModelSpec, params: dict,
         w = jnp.asarray(p["w"], jnp.float32)
         ws = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 + _QEPS  # (O,)
         wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
-        out[layer.index] = {"wq": wq, "ws": ws, "b": jnp.asarray(p["b"], jnp.float32)}
+        q = {"wq": wq, "ws": ws, "b": jnp.asarray(p["b"], jnp.float32)}
+        if act_scales is not None:
+            q["sa"] = jnp.asarray(float(act_scales[layer.index]) + _QEPS,
+                                  jnp.float32)
+        out[layer.index] = q
     return out
 
 
+def collect_act_scales(spec: ModelSpec, params: dict, x,
+                       margin: float = 1.0) -> "dict[int, float]":
+    """Calibrate static activation scales: run the fp32 forward on a batch
+    of letterboxed calibration inputs and record each conv's input
+    ``max|x| / 127``.
+
+    ``params`` must be the *fp32* (un-quantized) pytree; ``x`` is
+    (N, H, W, 3) f32 in [0, 1].  ``margin`` multiplies the observed range
+    (>1 leaves headroom for activations outside the calibration set; values
+    beyond the range saturate to ±127, which symmetric int8 handles
+    gracefully)."""
+    import numpy as np
+
+    from ..models.darknet import build_forward
+
+    fwd = build_forward(spec, collect_conv_in_absmax=True)
+    _, stats = fwd(params, jnp.asarray(x, jnp.float32))
+    return {idx: float(np.asarray(v)) * margin / 127.0
+            for idx, v in stats.items()}
+
+
 def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
-                   b: jnp.ndarray, spec: ConvSpec) -> jnp.ndarray:
-    """One W8A8 conv: dynamic per-tensor activation quant, int32 MXU
+                   b: jnp.ndarray, spec: ConvSpec,
+                   sx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One W8A8 conv: per-tensor activation quant (dynamic ``max|x|`` when
+    ``sx`` is None, static calibrated scale otherwise), int32 MXU
     accumulation, per-channel rescale + bias + (leaky) activation, fp32 out."""
     x = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
+    if sx is None:
+        sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
     xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     p = spec.padding
     acc = lax.conv_general_dilated(

@@ -124,3 +124,64 @@ def test_quant_checkpoint_guard_and_bad_mode(tiny):
         det_q.save_checkpoint("/tmp/should_not_exist.ckpt")
     with pytest.raises(ValueError, match="quant"):
         build_forward(spec, quant="int4")
+
+
+# ---------------------------------------------------------------------------
+# Static (calibrated) activation scales
+# ---------------------------------------------------------------------------
+
+
+def test_static_sx_matches_dynamic_single_conv(tiny):
+    """quantized_conv(sx=<the dynamic scale>) is bit-identical to the
+    dynamic path — the static mode only changes WHERE the scale comes from."""
+    spec, params = tiny
+    conv0 = spec.layers[0]
+    qp = quantize_params(spec, params, skip_layers=())
+    p = qp[conv0.index]
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                    jnp.float32)
+    sx = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+    dyn = quantized_conv(x, p["wq"], p["ws"], p["b"], conv0)
+    sta = quantized_conv(x, p["wq"], p["ws"], p["b"], conv0, sx=sx)
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(sta))
+
+
+def test_collect_act_scales_covers_convs(tiny):
+    from pytorch_yolo_tpu.config import ConvSpec as CS
+    from pytorch_yolo_tpu.ops.quant import collect_act_scales
+
+    spec, params = tiny
+    x = np.random.default_rng(1).random((2, 96, 96, 3)).astype(np.float32)
+    scales = collect_act_scales(spec, params, x)
+    conv_idx = {l.index for l in spec.layers if isinstance(l, CS)}
+    assert set(scales) == conv_idx
+    assert all(s > 0 for s in scales.values())
+    # conv0 sees the raw input: its scale is max|x|/127 exactly
+    np.testing.assert_allclose(scales[0], np.abs(x).max() / 127.0, rtol=1e-6)
+
+
+def test_detector_static_int8_end_to_end(tiny):
+    """Detector(quant, quant_calib=...) bakes static scales ("sa" in the
+    pytree, no dynamic reductions) and stays close to dynamic int8."""
+    spec, params = tiny
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    dyn = pyt.Detector(spec, params, quant="w8a8")
+    sta = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    quantized = [k for k, p in sta.params.items() if "wq" in p]
+    assert quantized and all("sa" in sta.params[k] for k in quantized)
+    assert not any("sa" in dyn.params[k] for k in quantized)
+    da = dyn.detect(imgs[0], size=320, conf=0.3)
+    sb = sta.detect(imgs[0], size=320, conf=0.3)
+    # same candidate geometry; scores may differ at int8-rounding scale
+    assert da.boxes.shape[1] == sb.boxes.shape[1] == 4
+    assert abs(len(da.boxes) - len(sb.boxes)) <= max(3, len(da.boxes) // 4)
+
+
+def test_calib_rejects_prequantized(tiny):
+    spec, params = tiny
+    qp = quantize_params(spec, params)
+    with pytest.raises(ValueError, match="pre-quantized"):
+        pyt.Detector(spec, qp, quant="w8a8",
+                     quant_calib=[np.zeros((64, 64, 3), np.uint8)])

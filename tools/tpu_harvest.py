@@ -230,6 +230,12 @@ guard(45, "tiny_compute_bf16_b64_s2d",
 guard(46, "v2_compute_bf16_b64_s2d",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
 
+# ---- 12. static-calibration int8 (removes per-conv dynamic reductions) ---
+guard(47, "compute_int8_static_b16",
+      lambda: bench.measure_compute(MODEL, 416, B, ITERS, "int8s", "default"))
+guard(48, "compute_int8_static_b64",
+      lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "int8s", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
