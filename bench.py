@@ -324,6 +324,8 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "bf16": Detector(ref.spec, host, compute_dtype=jnp.bfloat16,
                          precision="default"),
         "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
+        "int8-static": Detector(ref.spec, host, quant="w8a8",
+                                quant_calib=imgs[:2]),
     }
     rows = []
     for name, det in modes.items():

@@ -235,6 +235,8 @@ guard(47, "compute_int8_static_b16",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "int8s", "default"))
 guard(48, "compute_int8_static_b64",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "int8s", "default"))
+guard(49, "drift_with_int8_static",
+      lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
