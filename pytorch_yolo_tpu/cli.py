@@ -48,13 +48,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
     p.add_argument("--int8", action="store_true",
-                   help="W8A8 dynamic int8 convs (2x MXU rate on v5e; "
-                        "calibration-free, see ops/quant.py)")
+                   help="W8A8 int8 convs (2x MXU rate on v5e; dynamic "
+                        "activation scales unless --int8-calib is given)")
     p.add_argument("--int8-skip-heads", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="keep the detection-head output convs in fp under "
                         "--int8 (default on: quantizing them is the classic "
                         "mAP-killer)")
+    p.add_argument("--int8-calib", default=None, metavar="DIR",
+                   help="calibrate static activation scales from images in "
+                        "DIR (up to 8) — removes the per-conv dynamic "
+                        "reductions; measured 2x int8 throughput at equal-"
+                        "or-better drift (PERF.md round 2)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache "
                         "(~/.cache/pytorch_yolo_tpu/xla)")
@@ -65,6 +70,19 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN checking (debug mode, SURVEY.md §5.2)")
     p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _load_calib_images(directory: str, limit: int = 8) -> list:
+    """Load up to ``limit`` images from a directory for int8 calibration."""
+    import cv2
+
+    paths = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.lower().endswith(IMAGE_EXTS))[:limit]
+    imgs = [im for im in (cv2.imread(p) for p in paths) if im is not None]
+    if not imgs:
+        raise SystemExit(f"--int8-calib: no readable images in {directory}")
+    return imgs
 
 
 def _build_detector(args) -> Detector:
@@ -88,6 +106,9 @@ def _build_detector(args) -> Detector:
         kw.update(quant="w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
+        calib_dir = getattr(args, "int8_calib", None)
+        if calib_dir:
+            kw.update(quant_calib=_load_calib_images(calib_dir))
     weights = args.weights
     if weights is None and not source.endswith(".cfg"):
         # auto-adopt driver-provided assets the moment they appear (reuse a

@@ -185,3 +185,25 @@ def test_module_runner_entry():
         capture_output=True, text=True, env=env, timeout=300)
     assert out.returncode == 0, out.stderr
     assert "detections @416: 2535" in out.stdout
+
+
+def test_detect_int8_static_calib(assets, tmp_path):
+    """--int8 --int8-calib DIR bakes static activation scales (cli ->
+    Detector(quant_calib=...)) and still writes detections."""
+    out = str(tmp_path / "det_int8s")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--confidence", "0.4", "--reso", "320",
+               "--int8", "--int8-calib", assets["imgs"]])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["det_im0.png", "det_im1.png"]
+
+
+def test_int8_calib_empty_dir_errors(assets, tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no readable images"):
+        main(["detect", "--images", assets["imgs"], "--det",
+              str(tmp_path / "d"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "320",
+              "--int8", "--int8-calib", str(empty)])
