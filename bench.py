@@ -134,28 +134,43 @@ def _disarm():
         _watchdog_timer = None
 
 
-def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
-                compute_dtype: str, precision: str) -> float:
-    import jax
+def _ensure_compile_cache() -> None:
+    """Persistent cache: a prior harvest/bench run makes this one skip its
+    remote compiles entirely — the main wedge risk on this tunnel."""
+    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
+        from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+
+def _load_detector(model: str, compute_dtype: str, precision: str, rng):
+    """Resolve a bench dtype token (float32 / bfloat16 / int8 / int8s) into
+    a loaded Detector plus its display label.  "int8" = dynamic activation
+    scales; "int8s" = static scales calibrated on random frames (scale
+    values don't affect throughput)."""
     import jax.numpy as jnp
 
     from pytorch_yolo_tpu.api import Detector
-    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
 
-    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
-        # persistent cache: a prior harvest/bench run makes this one skip its
-        # remote compiles entirely — the main wedge risk on this tunnel
-        enable_compilation_cache()
-
-    log(f"devices: {jax.devices()}")
-    dtype_label = compute_dtype
-    quant = None
-    if compute_dtype == "int8":  # W8A8 dynamic quant (ops/quant.py)
+    _ensure_compile_cache()
+    label, quant, calib = compute_dtype, None, None
+    if compute_dtype in ("int8", "int8s"):
+        if compute_dtype == "int8s":
+            calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+                     for _ in range(4)]
         quant, compute_dtype = "w8a8", "float32"
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
-                        precision=precision, quant=quant)
+                        precision=precision, quant=quant, quant_calib=calib)
+    return det, label
 
+
+def measure_tpu(model: str, size: int, batch: int, iters: int, warmup: int,
+                compute_dtype: str, precision: str) -> float:
+    import jax
+
+    log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
+    det, dtype_label = _load_detector(model, compute_dtype, precision, rng)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
 
     # NOTE: under the tunneled-TPU runtime jax.block_until_ready is not a
@@ -190,20 +205,8 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
     (0.52 MB/img vs 0.92 raw / 2.1 f32) and overlaps chunk t+1's transfer
     with chunk t's compute (api.detect_many), so throughput approaches
     min(link bound, compute bound) instead of their sum."""
-    import jax.numpy as jnp
-
-    from pytorch_yolo_tpu.api import Detector
-    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-
-    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
-        enable_compilation_cache()
-
-    quant = None
-    if compute_dtype == "int8":
-        quant, compute_dtype = "w8a8", "float32"
-    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
-                        precision=precision, quant=quant)
     rng = np.random.default_rng(0)
+    det, dtype_label = _load_detector(model, compute_dtype, precision, rng)
     pool = [rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
             for _ in range(2 * batch)]
     n = batch * iters
@@ -235,23 +238,11 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     — on a production v5e host the PCIe/DMA link is ~3 orders of magnitude
     faster, so this number is the deployment-relevant throughput bound."""
     import jax
-    import jax.numpy as jnp
 
-    from pytorch_yolo_tpu.api import Detector, _PipelineKey
-    from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-
-    if not os.environ.get("PYT_BENCH_NO_COMPILE_CACHE"):
-        enable_compilation_cache()
+    from pytorch_yolo_tpu.api import _PipelineKey
 
     rng = np.random.default_rng(0)
-    dtype_label, quant, calib = compute_dtype, None, None
-    if compute_dtype in ("int8", "int8s"):
-        if compute_dtype == "int8s":  # static calibrated activation scales
-            calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
-                     for _ in range(4)]
-        quant, compute_dtype = "w8a8", "float32"
-    det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
-                        precision=precision, quant=quant, quant_calib=calib)
+    det, dtype_label = _load_detector(model, compute_dtype, precision, rng)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,
@@ -343,8 +334,8 @@ def measure_multires(model: str, iters: int, dtype: str, precision: str) -> list
 
     from pytorch_yolo_tpu.api import Detector
 
-    det = Detector.load(model, compute_dtype=jnp.dtype(dtype), precision=precision)
     rng = np.random.default_rng(0)
+    det, _ = _load_detector(model, dtype, precision, rng)
     imgs = rng.integers(0, 256, size=(8, 480, 640, 3), dtype=np.uint8)
     rows = []
     for size in (320, 416, 608):
@@ -366,8 +357,8 @@ def measure_stream(model: str, frames: int, dtype: str, precision: str) -> float
 
     from pytorch_yolo_tpu.api import Detector
 
-    det = Detector.load(model, compute_dtype=jnp.dtype(dtype), precision=precision)
     rng = np.random.default_rng(0)
+    det, _ = _load_detector(model, dtype, precision, rng)
     frame = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
     # compile + warm
     for _ in det.detect_stream(iter([frame, frame]), size=416, conf=0.6):

@@ -162,34 +162,31 @@ def stem_s2d_applicable(spec: ModelSpec) -> bool:
     return _stem_pattern(spec) is not None
 
 
-def _pack_stem_s2d(w0: jnp.ndarray, b0: jnp.ndarray, w1: jnp.ndarray):
-    """Exact space-to-depth re-parameterization of the two stem convs.
+def _pack_s2d_conv0(w0: jnp.ndarray, b0: jnp.ndarray):
+    """3x3/s1 conv -> 3x3 block-space conv over S2D input.
 
-    The MLPerf-ResNet trick adapted to Darknet-53's stem (PERF.md roadmap
-    #3): the 3->32-channel 3x3 conv at full 416² resolution has a
-    contraction dim of 27 and 32 output channels — <25% of an MXU tile in
-    both directions.  Working in 2x2-block space instead:
+    The exact space-to-depth stem re-parameterization (MLPerf-ResNet trick
+    adapted to Darknet stems, PERF.md roadmap #3): the 3->32-channel 3x3
+    conv at full 416² resolution has a contraction dim of 27 and 32 output
+    channels — <25% of an MXU tile in both directions.  In 2x2-block space:
 
       * input (N, H, W, 3) -> (N, H/2, W/2, 12), channel = (dy, dx, c);
       * conv0 becomes a 3x3 conv over 12 -> 4*O0 channels, output channel
         = (a, b, o) for output phase (a, b) — output pixel (2i+a, 2j+b)
         tap (r, s) reads input pixel (2i+a+r-1, ...), i.e. block
         i + (a+r-1)//2, phase (a+r-1)%2;
-      * conv1 (stride 2) becomes a 2x2 *stride-1* conv over block space,
-        tap r reading block i + (r-1)//2, phase (r-1)%2, producing the
-        natural (N, H/2, W/2, O1) layout — the rest of the net is unchanged.
+      * a following stride-2 conv becomes a 2x2 *stride-1* conv over block
+        space (:func:`_pack_s2d_conv1`), and a following 2x2/s2 maxpool
+        becomes a max over the 4 phase groups — either way the result is
+        back in natural (N, H/2, W/2, O) layout and the rest of the net is
+        unchanged.
 
     Taps that fall outside the packed kernels' support carry exact zeros,
-    so the math (incl. edge padding) is identical up to fp reduction order.
-    ~75% / ~44% of the packed MACs are those structural zeros (+~2% model
-    FLOPs total) — traded for full-width MXU tiles on what were the two
-    worst-utilized layers."""
-    pw0, pb0 = _pack_s2d_conv0(w0, b0)
-    return pw0, pb0, _pack_s2d_conv1(w1)
-
-
-def _pack_s2d_conv0(w0: jnp.ndarray, b0: jnp.ndarray):
-    """3x3/s1 conv -> 3x3 block-space conv over S2D input (see above)."""
+    so the math (incl. edge padding) is identical up to fp reduction order
+    (bit-identical for the maxpool variant).  ~75% / ~44% of the packed
+    MACs are those structural zeros — traded for full-width MXU tiles on
+    what were the worst-utilized layers.  Measured: a win for the
+    conv_conv stem, a loss for conv_pool (PERF.md round 2)."""
     k0h, k0w, c0, o0 = w0.shape
     pw0 = jnp.zeros((3, 3, 4 * c0, 4 * o0), w0.dtype)
     for a in range(2):
