@@ -237,6 +237,8 @@ guard(48, "compute_int8_static_b64",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "int8s", "default"))
 guard(49, "drift_with_int8_static",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
+guard(50, "v2tiny_compute_bf16_b64",  # completes the model-zoo perf table
+      lambda: bench.measure_compute("yolov2-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
