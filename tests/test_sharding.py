@@ -111,3 +111,35 @@ def test_quantized_detector_on_mesh(mesh):
     for a, b in zip(r_single, r_mesh):
         assert len(a) == len(b)
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+
+
+def test_bf16_serving_default_on_mesh(mesh):
+    """The shipped bf16 serving config (S2D stem auto-on for conv_conv)
+    must shard: packed stem weights are built at trace time from the
+    replicated params, so the transform has to compose with GSPMD."""
+    spec = __import__("pytorch_yolo_tpu.models.zoo",
+                      fromlist=["model_spec"]).model_spec("yolov3")
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=7))
+    host = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+            for k, v in params.items()}
+    det_single = pyt.Detector(spec, host, compute_dtype=jnp.bfloat16,
+                              precision="default")
+    det_mesh = pyt.Detector(spec, host, compute_dtype=jnp.bfloat16,
+                            precision="default", mesh=mesh)
+    assert det_single.stem_s2d and det_mesh.stem_s2d
+    imgs = np.random.default_rng(2).integers(
+        0, 256, size=(8, 96, 128, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, size=96, conf=0.2)
+    r_mesh = det_mesh.detect_batch(imgs, size=96, conf=0.2)
+    assert len(r_single) == len(r_mesh) == 8
+    # bf16 + random weights is chaotic: a differently-partitioned program
+    # legitimately reorders near-tie detections, so exact box equality is
+    # the wrong property (the fp32 test above pins numerical parity).
+    # What must hold: the packed-stem program compiles and executes under
+    # GSPMD and produces structurally valid detections per image.
+    for b in r_mesh:
+        assert b.boxes.shape[1:] == (4,)
+        assert np.isfinite(b.boxes).all()
+        assert ((b.cls_id >= 0) & (b.cls_id < 80)).all()
