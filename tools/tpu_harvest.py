@@ -240,6 +240,79 @@ guard(49, "drift_with_int8_static",
 guard(50, "v2tiny_compute_bf16_b64",  # completes the model-zoo perf table
       lambda: bench.measure_compute("yolov2-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
 
+# ---- 13. fine-grained forward profile (seeds round-3 roadmap #2) ---------
+# One truncated compile per cut, emitted immediately (a dying attempt keeps
+# its banked rows; the persistent compile cache makes retries ratchet).
+
+def fine_profile():
+    import jax.numpy as jnp
+    from pytorch_yolo_tpu.api import Detector
+    from pytorch_yolo_tpu.config import ConvSpec
+    from pytorch_yolo_tpu.utils.profiling import profile_stages
+
+    det = Detector.load(MODEL, compute_dtype=jnp.bfloat16, precision="default")
+    convs = [l.index for l in det.spec.layers if isinstance(l, ConvSpec)]
+    cuts = convs[::2] + ([convs[-1]] if convs[-1] not in convs[::2] else [])
+    out = []
+    for idx in cuts:
+        row = profile_stages(det, size=416, batch=B, iters=4,
+                             cuts=[(idx, f"conv{idx}")])[0]
+        emit(step="fine_profile_cut", layer=idx, cum_ms=row["cum_ms"])
+        out.append({"layer": idx, "cum_ms": row["cum_ms"]})
+    return out
+
+guard(51, "fine_profile_bf16", fine_profile)
+
+# ---- 14. stem micro-benchmarks: is the S2D transform itself the cost? ----
+
+def stem_micro():
+    import jax
+    import jax.numpy as jnp
+    from pytorch_yolo_tpu.models.darknet import (
+        _conv, _pack_s2d_conv0, _space_to_depth)
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    spec = model_spec(MODEL)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, fold_batchnorm(spec, random_raw_params(spec, seed=0)))
+    x = jax.device_put(np.random.default_rng(0).random(
+        (B, 416, 416, 3)).astype(np.float32))
+
+    def timed(name, fn):
+        jf = jax.jit(fn)
+        np.asarray(jf(x))  # compile+warm
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = jf(x)
+        np.asarray(out)
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        emit(step="stem_micro", name=name, ms_per_batch=round(ms, 3))
+        return ms
+
+    rows = {}
+    rows["noop_sum"] = timed("noop_sum", lambda xx: xx.sum())  # call floor
+    rows["s2d_only"] = timed(
+        "s2d_only", lambda xx: _space_to_depth(xx).astype(jnp.bfloat16).sum())
+    rows["conv0_natural"] = timed(
+        "conv0_natural",
+        lambda xx: _conv(xx, params[0]["w"], params[0]["b"], spec.layers[0],
+                         jnp.bfloat16, jax.lax.Precision.DEFAULT).sum())
+
+    def packed0(xx):
+        pw0, pb0 = _pack_s2d_conv0(params[0]["w"], params[0]["b"])
+        y = jax.lax.conv_general_dilated(
+            _space_to_depth(xx).astype(jnp.bfloat16),
+            pw0.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return y.sum()
+
+    rows["s2d_plus_packed_conv0"] = timed("s2d_plus_packed_conv0", packed0)
+    return rows
+
+guard(52, "stem_micro_bf16", stem_micro)
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
