@@ -313,6 +313,116 @@ def stem_micro():
 
 guard(52, "stem_micro_bf16", stem_micro)
 
+# ---- 15. per-shape conv efficiency (which shapes sit lowest on the MXU) --
+
+def conv_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    # (label, H=W, Cin, Cout, k, stride) — the distinct shapes that carry
+    # Darknet-53's FLOPs (SURVEY.md §3.3 ledger), serving batch.
+    shapes = [
+        ("s2 208->104 64->128 k3", 208, 64, 128, 3, 2),
+        ("104 128->64 k1", 104, 128, 64, 1, 1),
+        ("104 64->128 k3", 104, 64, 128, 3, 1),
+        ("52 256->128 k1", 52, 256, 128, 1, 1),
+        ("52 128->256 k3", 52, 128, 256, 3, 1),
+        ("26 512->256 k1", 26, 512, 256, 1, 1),
+        ("26 256->512 k3", 26, 256, 512, 3, 1),
+        ("13 1024->512 k1", 13, 1024, 512, 1, 1),
+        ("13 512->1024 k3", 13, 512, 1024, 3, 1),
+    ]
+    rng = np.random.default_rng(0)
+    rows = []
+    for label, hw, cin, cout, k, st in shapes:
+        x = jax.device_put(rng.random((B, hw, hw, cin)).astype(np.float32)
+                           ).astype(jnp.bfloat16)
+        w = jax.device_put(rng.normal(size=(k, k, cin, cout)).astype(
+            np.float32) * 0.05).astype(jnp.bfloat16)
+
+        def f(xx, ww):
+            return jax.lax.conv_general_dilated(
+                xx, ww, (st, st), ((k // 2, k // 2), (k // 2, k // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).sum()
+
+        jf = jax.jit(f)
+        np.asarray(jf(x, w))
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = jf(x, w)
+        np.asarray(out)
+        ms = (time.perf_counter() - t0) / 30 * 1e3
+        out_hw = hw // st
+        flops = 2 * B * out_hw * out_hw * cout * k * k * cin
+        tflops = flops / (ms / 1e3) / 1e12
+        emit(step="conv_shape", label=label, ms=round(ms, 3),
+             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 394, 1))
+        rows.append({"label": label, "ms": round(ms, 3),
+                     "tflops": round(tflops, 1)})
+    return rows
+
+guard(53, "conv_shape_efficiency", conv_shapes)
+
+# ---- 16. residual-pair efficiency, floor-free (20 chained pairs / call) --
+# Isolated single ops are dispatch-floor-bound over the tunnel (step 53:
+# every shape ~1.3-2.5 ms regardless of FLOPs) — chain 20 shape-preserving
+# 1x1+3x3 residual pairs inside one jit and difference per-pair cost.
+
+def residual_pairs():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    pairs = [  # (label, HW, C_wide, C_narrow, repeats in darknet53)
+        ("104 128<->64", 104, 128, 64, 2),
+        ("52 256<->128", 52, 256, 128, 8),
+        ("26 512<->256", 26, 512, 256, 8),
+        ("13 1024<->512", 13, 1024, 512, 4),
+    ]
+    rng = np.random.default_rng(0)
+    rows = []
+    REPS = 20
+    for label, hw, cw, cn, ndark in pairs:
+        x = jax.device_put(rng.random((B, hw, hw, cw)).astype(np.float32)
+                           ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(size=(1, 1, cw, cn)).astype(np.float32)
+                         * 0.05).astype(jnp.bfloat16)
+        w3 = jnp.asarray(rng.normal(size=(3, 3, cn, cw)).astype(np.float32)
+                         * 0.05).astype(jnp.bfloat16)
+
+        def f(xx, a=w1, b=w3):
+            def body(_, y):
+                t = lax.conv_general_dilated(
+                    y, a, (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                t = lax.conv_general_dilated(
+                    t, b, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                return t
+            return lax.fori_loop(0, REPS, body, xx).sum()
+
+        jf = jax.jit(f)
+        np.asarray(jf(x))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = jf(x)
+        np.asarray(out)
+        call_ms = (time.perf_counter() - t0) / 5 * 1e3
+        pair_ms = call_ms / REPS  # floor amortized over 20 pairs
+        flops = 2 * B * hw * hw * (cw * cn + 9 * cn * cw)
+        tflops = flops / (pair_ms / 1e3) / 1e12
+        emit(step="residual_pair", label=label, pair_ms=round(pair_ms, 4),
+             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 394, 1),
+             darknet_total_ms=round(pair_ms * ndark, 3))
+        rows.append({"label": label, "pair_ms": round(pair_ms, 4),
+                     "tflops": round(tflops, 1)})
+    return rows
+
+guard(54, "residual_pair_efficiency", residual_pairs)
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
