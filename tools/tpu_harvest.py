@@ -423,6 +423,146 @@ def residual_pairs():
 
 guard(54, "residual_pair_efficiency", residual_pairs)
 
+# ---- 17. is the 16%-MXU conv plateau conv-specific or systemic? ----------
+# Three chained variants at the 13² and 52² pair shapes: baseline conv+conv,
+# 1x1-as-dot + conv3x3, and a pure GEMM of the 1x1's shape (dot ceiling).
+
+def conv_vs_dot():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    rows = []
+    REPS = 20
+    for label, hw, cw, cn in (("13 1024<->512", 13, 1024, 512),
+                              ("52 256<->128", 52, 256, 128)):
+        x = jax.device_put(rng.random((B, hw, hw, cw)).astype(np.float32)
+                           ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(size=(cw, cn)).astype(np.float32)
+                         * 0.05).astype(jnp.bfloat16)
+        w3 = jnp.asarray(rng.normal(size=(3, 3, cn, cw)).astype(np.float32)
+                         * 0.05).astype(jnp.bfloat16)
+        pair_flops = 2 * B * hw * hw * (cw * cn + 9 * cn * cw)
+
+        def conv_pair(xx):
+            def body(_, y):
+                t = lax.conv_general_dilated(
+                    y, w1[None, None], (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                return lax.conv_general_dilated(
+                    t, w3, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return lax.fori_loop(0, REPS, body, xx).sum()
+
+        def dot1_pair(xx):
+            def body(_, y):
+                n_, h_, w_, c_ = y.shape
+                t = jnp.dot(y.reshape(-1, c_), w1,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16).reshape(n_, h_, w_, -1)
+                return lax.conv_general_dilated(
+                    t, w3, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return lax.fori_loop(0, REPS, body, xx).sum()
+
+        m = B * hw * hw
+        a0 = jax.device_put(rng.random((m, cw)).astype(np.float32)
+                            ).astype(jnp.bfloat16)
+        wq = jnp.asarray(rng.normal(size=(cn, cw)).astype(np.float32)
+                         * 0.05).astype(jnp.bfloat16)
+
+        def gemm_chain(aa):
+            def body(_, y):
+                t = jnp.dot(y, w1, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)          # (m,cw)@(cw,cn)
+                return jnp.dot(t, wq, preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)       # back to (m,cw)
+            return lax.fori_loop(0, REPS, body, aa).sum()
+
+        gemm_flops = 2 * m * (cw * cn + cn * cw)
+
+        for name, fn, fl, arg in (("conv_pair", conv_pair, pair_flops, x),
+                                  ("dot1x1_pair", dot1_pair, pair_flops, x),
+                                  ("gemm_chain", gemm_chain, gemm_flops, a0)):
+            jf = jax.jit(fn)
+            np.asarray(jf(arg))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = jf(arg)
+            np.asarray(out)
+            per = (time.perf_counter() - t0) / 5 / REPS * 1e3
+            tf = fl / (per / 1e3) / 1e12
+            emit(step="conv_vs_dot", shape=label, variant=name,
+                 ms=round(per, 4), tflops=round(tf, 1),
+                 mxu_pct=round(100 * tf / 394, 1))
+            rows.append({"shape": label, "variant": name,
+                         "tflops": round(tf, 1)})
+    return rows
+
+guard(55, "conv_vs_dot", conv_vs_dot)
+
+# ---- 18. loop-overhead control: REPS sweep + unrolled chain --------------
+# If per-iteration time is REPS-invariant and unrolled==fori, the pair
+# costs are real compute; if per-iter drops with REPS or unrolling, the
+# step-54/55 numbers carry a fixed per-iteration artifact.
+
+def loop_control():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    hw, cw, cn = 13, 1024, 512
+    x = jax.device_put(rng.random((B, hw, hw, cw)).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(1, 1, cw, cn)).astype(np.float32)
+                     * 0.05).astype(jnp.bfloat16)
+    w3 = jnp.asarray(rng.normal(size=(3, 3, cn, cw)).astype(np.float32)
+                     * 0.05).astype(jnp.bfloat16)
+
+    def pair(y):
+        t = lax.conv_general_dilated(
+            y, w1, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return lax.conv_general_dilated(
+            t, w3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    rows = []
+
+    def timed(name, fn, reps):
+        jf = jax.jit(fn)
+        np.asarray(jf(x))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = jf(x)
+        np.asarray(out)
+        per = (time.perf_counter() - t0) / 5 / reps * 1e3
+        emit(step="loop_control", variant=name, reps=reps,
+             per_pair_ms=round(per, 4))
+        rows.append({"variant": name, "reps": reps, "per_pair_ms": round(per, 4)})
+
+    for reps in (5, 20, 80):
+        timed("fori", lambda xx, r=reps: lax.fori_loop(
+            0, r, lambda _, y: pair(y), xx).sum(), reps)
+
+    def unrolled(xx):
+        y = xx
+        for _ in range(20):
+            y = pair(y)
+        return y.sum()
+
+    timed("unrolled", unrolled, 20)
+    return rows
+
+guard(56, "loop_overhead_control", loop_control)
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
