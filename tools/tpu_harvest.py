@@ -357,7 +357,7 @@ def conv_shapes():
         flops = 2 * B * out_hw * out_hw * cout * k * k * cin
         tflops = flops / (ms / 1e3) / 1e12
         emit(step="conv_shape", label=label, ms=round(ms, 3),
-             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 394, 1))
+             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 197, 1))  # v5e bf16 peak
         rows.append({"label": label, "ms": round(ms, 3),
                      "tflops": round(tflops, 1)})
     return rows
@@ -415,7 +415,7 @@ def residual_pairs():
         flops = 2 * B * hw * hw * (cw * cn + 9 * cn * cw)
         tflops = flops / (pair_ms / 1e3) / 1e12
         emit(step="residual_pair", label=label, pair_ms=round(pair_ms, 4),
-             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 394, 1),
+             tflops=round(tflops, 1), mxu_pct=round(100 * tflops / 197, 1),  # v5e bf16 peak
              darknet_total_ms=round(pair_ms * ndark, 3))
         rows.append({"label": label, "pair_ms": round(pair_ms, 4),
                      "tflops": round(tflops, 1)})
@@ -498,7 +498,7 @@ def conv_vs_dot():
             tf = fl / (per / 1e3) / 1e12
             emit(step="conv_vs_dot", shape=label, variant=name,
                  ms=round(per, 4), tflops=round(tf, 1),
-                 mxu_pct=round(100 * tf / 394, 1))
+                 mxu_pct=round(100 * tf / 197, 1))  # v5e bf16 peak
             rows.append({"shape": label, "variant": name,
                          "tflops": round(tf, 1)})
     return rows
