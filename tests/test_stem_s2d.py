@@ -117,6 +117,10 @@ def test_detector_stem_s2d_end_to_end():
     np.testing.assert_allclose(db.boxes, ds.boxes, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.filterwarnings(
+    # the f64 construction below intentionally runs with x64 disabled — only
+    # the stem_s2d policy decision is under test, not f64 math
+    "ignore:Explicitly requested dtype float64")
 def test_default_and_env_policy(monkeypatch):
     from pytorch_yolo_tpu.api import Detector
 
