@@ -563,6 +563,62 @@ def loop_control():
 
 guard(56, "loop_overhead_control", loop_control)
 
+# ---- 19. int8 conv MXU rate: does XLA use the 2x int8 path? --------------
+# Chained residual pairs with int8 operands (static scales, int32 accum,
+# fp32 rescale + leaky + requant — the real W8A8 body loop), REPS=80 to
+# amortize the call floor. Compare TFLOP/s vs the bf16 pair (135 TF).
+
+def int8_pairs():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    rows = []
+    REPS = 80
+    for label, hw, cw, cn in (("13 1024<->512", 13, 1024, 512),
+                              ("52 256<->128", 52, 128, 128)):
+        xq = jax.device_put(rng.integers(-127, 128, (B, hw, hw, cw)
+                                         ).astype(np.int8))
+        w1 = jnp.asarray(rng.integers(-127, 128, (1, 1, cw, cn)
+                                      ).astype(np.int8))
+        w3 = jnp.asarray(rng.integers(-127, 128, (3, 3, cn, cw)
+                                      ).astype(np.int8))
+
+        def pair_int8(y):
+            a = lax.conv_general_dilated(
+                y, w1, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            f = a.astype(jnp.float32) * 1e-4           # static rescale
+            f = jnp.where(f > 0, f, 0.1 * f)           # leaky
+            t = jnp.clip(jnp.round(f / 1e-2), -127, 127).astype(jnp.int8)
+            a = lax.conv_general_dilated(
+                t, w3, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            f = a.astype(jnp.float32) * 1e-4
+            f = jnp.where(f > 0, f, 0.1 * f)
+            return jnp.clip(jnp.round(f / 1e-2), -127, 127).astype(jnp.int8)
+
+        jf = jax.jit(lambda xx: lax.fori_loop(
+            0, REPS, lambda _, y: pair_int8(y), xx).astype(jnp.int32).sum())
+        np.asarray(jf(xq))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = jf(xq)
+        np.asarray(out)
+        per = (time.perf_counter() - t0) / 5 / REPS * 1e3
+        flops = 2 * B * hw * hw * (cw * cn + 9 * cn * cw)
+        tops = flops / (per / 1e3) / 1e12
+        emit(step="int8_pair", label=label, pair_ms=round(per, 4),
+             tops=round(tops, 1), int8_peak_pct=round(100 * tops / 394, 1))
+        rows.append({"label": label, "pair_ms": round(per, 4),
+                     "tops": round(tops, 1)})
+    return rows
+
+guard(57, "int8_pair_efficiency", int8_pairs)
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
