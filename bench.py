@@ -330,10 +330,6 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
 
 def measure_multires(model: str, iters: int, dtype: str, precision: str) -> list:
     """Steady-state img/s at 320/416/608 (BASELINE.json:10 shape buckets)."""
-    import jax.numpy as jnp
-
-    from pytorch_yolo_tpu.api import Detector
-
     rng = np.random.default_rng(0)
     det, _ = _load_detector(model, dtype, precision, rng)
     imgs = rng.integers(0, 256, size=(8, 480, 640, 3), dtype=np.uint8)
@@ -353,10 +349,6 @@ def measure_multires(model: str, iters: int, dtype: str, precision: str) -> list
 def measure_stream(model: str, frames: int, dtype: str, precision: str) -> float:
     """Pipelined per-frame (batch-1) throughput — the video loop shape
     (BASELINE.json:11)."""
-    import jax.numpy as jnp
-
-    from pytorch_yolo_tpu.api import Detector
-
     rng = np.random.default_rng(0)
     det, _ = _load_detector(model, dtype, precision, rng)
     frame = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)

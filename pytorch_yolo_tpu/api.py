@@ -122,6 +122,9 @@ class Detector:
         self.interp = interp
         if quant is None and any("wq" in p for p in params.values()):
             quant = "w8a8"  # params arrived pre-quantized
+        if quant is None and quant_calib is not None:
+            raise ValueError("quant_calib given but quant is None — pass "
+                             "quant='w8a8' to use static int8 calibration")
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if

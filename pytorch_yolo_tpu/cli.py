@@ -102,11 +102,14 @@ def _build_detector(args) -> Detector:
     kw = {"interp": getattr(args, "interp", "linear")}
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
+    calib_dir = getattr(args, "int8_calib", None)
+    if calib_dir and not getattr(args, "int8", False):
+        raise SystemExit("--int8-calib requires --int8 (static scales "
+                         "calibrate the int8 serving path)")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
-        calib_dir = getattr(args, "int8_calib", None)
         if calib_dir:
             kw.update(quant_calib=_load_calib_images(calib_dir))
     weights = args.weights

@@ -98,11 +98,14 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     (>1 leaves headroom for activations outside the calibration set; values
     beyond the range saturate to ±127, which symmetric int8 handles
     gracefully)."""
+    import jax
     import numpy as np
 
     from ..models.darknet import build_forward
 
-    fwd = build_forward(spec, collect_conv_in_absmax=True)
+    # jit: one compiled program (persistent-cache-friendly) instead of ~75
+    # eager per-op dispatches at Detector construction.
+    fwd = jax.jit(build_forward(spec, collect_conv_in_absmax=True))
     _, stats = fwd(params, jnp.asarray(x, jnp.float32))
     return {idx: float(np.asarray(v)) * margin / 127.0
             for idx, v in stats.items()}

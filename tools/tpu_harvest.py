@@ -223,12 +223,15 @@ guard(44, "drift_serving_defaults",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
 
 # ---- 11. conv_pool stem S2D (tiny/v2 family) -----------------------------
-# Steps 40/43 measured these models BEFORE the conv+maxpool stem became
-# transformable — these rows isolate the conv_pool S2D delta (bf16 default).
+# Steps 40/43 are the no-transform baselines.  conv_pool S2D measured a net
+# LOSS and is no longer the auto default (api.py), so these rows must force
+# it on explicitly to keep measuring the transform they are named after.
+os.environ["PYTORCH_YOLO_STEM_S2D"] = "1"
 guard(45, "tiny_compute_bf16_b64_s2d",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
 guard(46, "v2_compute_bf16_b64_s2d",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+del os.environ["PYTORCH_YOLO_STEM_S2D"]
 
 # ---- 12. static-calibration int8 (removes per-conv dynamic reductions) ---
 guard(47, "compute_int8_static_b16",
@@ -237,8 +240,12 @@ guard(48, "compute_int8_static_b64",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "int8s", "default"))
 guard(49, "drift_with_int8_static",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
-guard(50, "v2tiny_compute_bf16_b64",  # completes the model-zoo perf table
+# v2-tiny: its FUSED pipeline compile hangs the remote toolchain (>900s
+# twice — CLAUDE.md landmine); measure via the kill-switch path only.
+os.environ["PYTORCH_YOLO_NO_PALLAS"] = "1"
+guard(50, "v2tiny_compute_bf16_b64_nopallas",  # completes the model-zoo table
       lambda: bench.measure_compute("yolov2-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
+del os.environ["PYTORCH_YOLO_NO_PALLAS"]
 
 # ---- 13. fine-grained forward profile (seeds round-3 roadmap #2) ---------
 # One truncated compile per cut, emitted immediately (a dying attempt keeps
@@ -577,7 +584,7 @@ def int8_pairs():
     rows = []
     REPS = 80
     for label, hw, cw, cn in (("13 1024<->512", 13, 1024, 512),
-                              ("52 256<->128", 52, 128, 128)):
+                              ("52 256<->128", 52, 256, 128)):
         xq = jax.device_put(rng.integers(-127, 128, (B, hw, hw, cw)
                                          ).astype(np.int8))
         w1 = jnp.asarray(rng.integers(-127, 128, (1, 1, cw, cn)
