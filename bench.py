@@ -525,13 +525,23 @@ def main() -> None:
     else:
         base = measure_cpu_baseline(args.size)
 
-    print(json.dumps({
+    payload = {
         "metric": f"images/sec/chip ({args.model} @{args.size}, {mode_label}, "
                   f"{args.dtype}/{args.precision}, backend={backend})",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / base, 2) if base else None,
-    }))
+    }
+    if args.mode == "compute" and base:
+        # Disclose the ratio's mixed semantics in the machine-readable line
+        # itself, not only in the metric string: the numerator excludes H2D
+        # (this container's tunnel link is ~0.05 GB/s and measures the pipe,
+        # not the framework — PERF.md), the denominator is the fp32 CPU
+        # end-to-end baseline.  Transfer-inclusive modes: --mode batch|pipelined.
+        payload["baseline_note"] = (
+            "numerator is on-chip (device-resident input); denominator is "
+            "fp32 CPU end-to-end — tunnel H2D excluded, see PERF.md")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -109,6 +109,9 @@ class Detector:
         keep_fp32_params: bool = True,
         stem_s2d: bool | None = None,
         quant_calib: "Sequence[np.ndarray] | None" = None,
+        quant_calib_bgr: bool = True,
+        quant_calib_margin: float = 1.0,
+        quant_calib_percentile: "float | None" = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -145,12 +148,19 @@ class Detector:
                         "the fp forward); these arrived pre-quantized")
                 from .ops.preprocess import letterbox_host
 
+                # quant_calib_bgr must match how the detector will be served
+                # (detect(bgr=...)): calibrating on channel-swapped images
+                # mismatches the scales to the served activation statistics.
+                # Default True matches cv2.imread-style BGR inputs (the CLI);
+                # the evaluate path (RGB) passes False.
                 s = (spec.net.height, spec.net.width)
                 canvases = np.stack([
                     letterbox_host(_normalize_channels(im), s,
-                                   method=interp)[0]
+                                   bgr=quant_calib_bgr, method=interp)[0]
                     for im in quant_calib])
-                act_scales = collect_act_scales(spec, params, canvases)
+                act_scales = collect_act_scales(
+                    spec, params, canvases, margin=quant_calib_margin,
+                    percentile=quant_calib_percentile)
             params = quantize_params(spec, params,
                                      skip_layers=quant_skip_layers,
                                      act_scales=act_scales)
@@ -247,6 +257,9 @@ class Detector:
         score_mode: str = "obj",
         stem_s2d: bool | None = None,
         quant_calib: "Sequence[np.ndarray] | None" = None,
+        quant_calib_bgr: bool = True,
+        quant_calib_margin: float = 1.0,
+        quant_calib_percentile: "float | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -270,7 +283,9 @@ class Detector:
                   cfg_text=cfg_text, interp=interp, quant=quant,
                   quant_skip_layers=quant_skip_layers, use_pallas=use_pallas,
                   score_mode=score_mode, stem_s2d=stem_s2d,
-                  quant_calib=quant_calib)
+                  quant_calib=quant_calib, quant_calib_bgr=quant_calib_bgr,
+                  quant_calib_margin=quant_calib_margin,
+                  quant_calib_percentile=quant_calib_percentile)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
 

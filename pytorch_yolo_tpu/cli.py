@@ -60,6 +60,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "DIR (up to 8) — removes the per-conv dynamic "
                         "reductions; measured 2x int8 throughput at equal-"
                         "or-better drift (PERF.md round 2)")
+    p.add_argument("--int8-calib-margin", type=float, default=1.0,
+                   metavar="M",
+                   help="multiply calibrated activation ranges by M (>1 "
+                        "leaves headroom for activations beyond the "
+                        "calibration set; out-of-range values saturate)")
+    p.add_argument("--int8-calib-percentile", type=float, default=None,
+                   metavar="Q",
+                   help="calibrate from the Q-th percentile of |activation| "
+                        "(e.g. 99.9) instead of the max — robust to outlier "
+                        "activations in the calibration images")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache "
                         "(~/.cache/pytorch_yolo_tpu/xla)")
@@ -111,7 +121,12 @@ def _build_detector(args) -> Detector:
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
         if calib_dir:
-            kw.update(quant_calib=_load_calib_images(calib_dir))
+            # CLI images load via cv2.imread (BGR) and detect() defaults
+            # bgr=True, so calibration runs on the served channel order.
+            kw.update(quant_calib=_load_calib_images(calib_dir),
+                      quant_calib_margin=getattr(args, "int8_calib_margin", 1.0),
+                      quant_calib_percentile=getattr(
+                          args, "int8_calib_percentile", None))
     weights = args.weights
     if weights is None and not source.endswith(".cfg"):
         # auto-adopt driver-provided assets the moment they appear (reuse a

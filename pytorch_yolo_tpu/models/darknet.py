@@ -24,6 +24,7 @@ to boxes lives in ``ops/decode.py`` so it can be fused with filtering.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -90,7 +91,15 @@ def _maxpool(x: jnp.ndarray, spec: MaxPoolSpec) -> jnp.ndarray:
     total = spec.size - 1
     lo = total // 2
     hi = total - lo
-    neg = jnp.array(-jnp.inf, dtype=x.dtype)
+    # int8-resident inputs (ops/quant.int8_resident_chains) pad with the
+    # integer minimum instead of -inf; max commutes with the monotone
+    # quantizer, so the pooled int8 value is exactly the quantized pooled
+    # fp value.  A window never lies fully in padding (total pad = size-1),
+    # so the pad value itself can never be selected.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = jnp.array(-jnp.inf, dtype=x.dtype)
+    else:
+        neg = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
     return lax.reduce_window(
         x,
         neg,
@@ -227,7 +236,7 @@ def build_forward(
     quant: str | None = None,
     stop_at: int | None = None,
     stem_s2d: bool = False,
-    collect_conv_in_absmax: bool = False,
+    collect_conv_in_stats: "Callable[[jnp.ndarray], jnp.ndarray] | None" = None,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -251,9 +260,19 @@ def build_forward(
     returning ``(output_of_layer_k,)`` — the stage profiler's primitive
     (utils/profiling.profile_stages): timing cumulative prefixes isolates
     per-stage cost without in-graph instrumentation, which the tunneled
-    runtime's profiler cannot provide (PERF.md roadmap #4)."""
+    runtime's profiler cannot provide (PERF.md roadmap #4).
+
+    ``collect_conv_in_stats=f`` makes the forward also return a per-conv
+    stats dict ``{layer_idx: f(conv_input)}`` — the int8 calibration hook
+    (ops/quant.collect_act_scales supplies absmax or percentile
+    statistics).  Mutually exclusive with ``stop_at`` (a truncated run
+    would silently drop the collected stats)."""
     if quant not in (None, "w8a8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
+    if collect_conv_in_stats is not None and stop_at is not None:
+        raise ValueError("collect_conv_in_stats and stop_at are mutually "
+                         "exclusive: the truncated return path would drop "
+                         "the collected statistics")
     if stem_s2d:
         if quant is not None:
             raise ValueError("stem_s2d is a fp/bf16 path; not composable with "
@@ -288,6 +307,15 @@ def build_forward(
         cache: dict[int, jnp.ndarray] = {}
         heads: list[jnp.ndarray] = []
         stats: dict[int, jnp.ndarray] = {}
+        # int8-resident chain map (static-int8 only; trace-time analysis of
+        # which convs may hand int8 straight to the next conv).  Env
+        # kill-switch mirrors PYTORCH_YOLO_NO_PALLAS for on-hardware A/B.
+        chains: dict[int, int] = {}
+        if quant is not None and os.environ.get(
+                "PYTORCH_YOLO_NO_INT8_RESIDENT") != "1":
+            from ..ops.quant import int8_resident_chains
+
+            chains = int8_resident_chains(spec, params)
         start = 0
         def _packed_conv0(xx):
             # Packed at trace time from the canonical params (tiny slice
@@ -329,13 +357,16 @@ def build_forward(
         for layer in layers[start: len(layers) if stop_at is None else stop_at + 1]:
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
-                if collect_conv_in_absmax:  # int8 calibration pass
-                    stats[layer.index] = jnp.max(jnp.abs(x))
+                if collect_conv_in_stats is not None:  # int8 calibration pass
+                    stats[layer.index] = collect_conv_in_stats(x)
                 if quant is not None and "wq" in p:
                     from ..ops.quant import quantized_conv
 
-                    x = quantized_conv(x, p["wq"], p["ws"], p["b"], layer,
-                                       sx=p.get("sa"))
+                    out_idx = chains.get(layer.index)
+                    x = quantized_conv(
+                        x, p["wq"], p["ws"], p["b"], layer, sx=p.get("sa"),
+                        out_scale=(params[out_idx]["sa"]
+                                   if out_idx is not None else None))
                 else:
                     x = _conv(x, p["w"], p["b"], layer, dtype, precision)
             elif isinstance(layer, MaxPoolSpec):
@@ -356,7 +387,7 @@ def build_forward(
                 cache[layer.index] = x
         if stop_at is not None:
             return (x,)  # truncated run: the cut layer's output
-        if collect_conv_in_absmax:
+        if collect_conv_in_stats is not None:
             return tuple(heads), stats
         return tuple(heads)
 

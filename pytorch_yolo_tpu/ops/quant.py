@@ -36,7 +36,8 @@ from typing import Container
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ConvSpec, ModelSpec, RegionSpec, YoloSpec
+from ..config import (ConvSpec, MaxPoolSpec, ModelSpec, RegionSpec,
+                      UpsampleSpec, YoloSpec)
 
 _QEPS = 1e-12  # guards all-zero tensors (sx would otherwise be 0)
 
@@ -88,39 +89,117 @@ def quantize_params(spec: ModelSpec, params: dict,
 
 
 def collect_act_scales(spec: ModelSpec, params: dict, x,
-                       margin: float = 1.0) -> "dict[int, float]":
+                       margin: float = 1.0,
+                       percentile: "float | None" = None) -> "dict[int, float]":
     """Calibrate static activation scales: run the fp32 forward on a batch
-    of letterboxed calibration inputs and record each conv's input
-    ``max|x| / 127``.
+    of letterboxed calibration inputs and record each conv's input range.
 
     ``params`` must be the *fp32* (un-quantized) pytree; ``x`` is
-    (N, H, W, 3) f32 in [0, 1].  ``margin`` multiplies the observed range
-    (>1 leaves headroom for activations outside the calibration set; values
-    beyond the range saturate to ±127, which symmetric int8 handles
-    gracefully)."""
+    (N, H, W, 3) f32 in [0, 1].
+
+    ``percentile=None`` (default) uses the conservative max-calibration:
+    per-image ``max|x|`` maxima, max-reduced over the calibration images
+    (numerically the whole-batch max; per-image statistics are collected so
+    robustness diagnostics can inspect spread).  ``percentile=q`` (e.g.
+    99.9) instead takes the q-th percentile of ``|x|`` over all calibration
+    values — a single outlier activation no longer stretches the scale, so
+    the 127 int8 steps cover the bulk of the distribution (the clipped tail
+    saturates to ±127, which symmetric int8 handles gracefully).
+
+    ``margin`` multiplies the observed range (>1 leaves headroom for
+    activations outside the calibration set)."""
     import jax
     import numpy as np
 
     from ..models.darknet import build_forward
 
+    if percentile is None:
+        stat = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(1, t.ndim)))
+    else:
+        if not 0.0 < percentile <= 100.0:
+            raise ValueError(f"percentile must be in (0, 100], got {percentile}")
+        stat = lambda t: jnp.percentile(jnp.abs(t), percentile)
     # jit: one compiled program (persistent-cache-friendly) instead of ~75
     # eager per-op dispatches at Detector construction.
-    fwd = jax.jit(build_forward(spec, collect_conv_in_absmax=True))
+    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
     _, stats = fwd(params, jnp.asarray(x, jnp.float32))
-    return {idx: float(np.asarray(v)) * margin / 127.0
+    return {idx: float(np.max(np.asarray(v))) * margin / 127.0 + _QEPS
             for idx, v in stats.items()}
+
+
+def int8_resident_chains(spec: ModelSpec, params: dict) -> "dict[int, int]":
+    """Map producer conv index -> consumer conv index for int8-resident links.
+
+    A quantized conv ``j`` may emit int8 directly at its consumer's
+    calibrated input scale (see :func:`quantized_conv` ``out_scale``) when:
+
+    * ``j``'s params are quantized (``"wq"``), and
+    * the layers between ``j`` and the next conv ``k`` are int8-transparent
+      — maxpool (max commutes with the monotone round/clip quantizer) and
+      nearest-neighbor upsample (pure value replication) — and
+    * ``k`` is quantized with a *static* activation scale (``"sa"``), and
+    * neither ``j``'s output nor any intermediate output is cached for a
+      route/shortcut (those consumers expect fp32 activations).
+
+    This keeps the Darknet-53 1x1->3x3 halves and the tiny/v2
+    conv->maxpool->conv ladders entirely in int8 between MXU ops: the fp32
+    activation tensor that the round-2 static-int8 path materialized per
+    layer (4 bytes/value of pure HBM glue — the measured Amdahl residue,
+    PERF.md round 3) becomes a 1-byte int8 write."""
+    from ..models.darknet import _needed_outputs
+
+    needed = _needed_outputs(spec)
+    layers = spec.layers
+    transparent = (MaxPoolSpec, UpsampleSpec)
+    chains: dict[int, int] = {}
+    for layer in layers:
+        if not isinstance(layer, ConvSpec):
+            continue
+        p = params.get(layer.index)
+        if p is None or "wq" not in p:
+            continue
+        if layer.index in needed:
+            continue
+        k = layer.index + 1
+        ok = True
+        while ok and k < len(layers) and isinstance(layers[k], transparent):
+            if layers[k].index in needed:
+                ok = False
+            k += 1
+        if not (ok and k < len(layers) and isinstance(layers[k], ConvSpec)):
+            continue
+        pk = params.get(layers[k].index)
+        if pk is not None and "wq" in pk and "sa" in pk:
+            chains[layer.index] = layers[k].index
+    return chains
 
 
 def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
                    b: jnp.ndarray, spec: ConvSpec,
-                   sx: jnp.ndarray | None = None) -> jnp.ndarray:
+                   sx: jnp.ndarray | None = None,
+                   out_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """One W8A8 conv: per-tensor activation quant (dynamic ``max|x|`` when
     ``sx`` is None, static calibrated scale otherwise), int32 MXU
-    accumulation, per-channel rescale + bias + (leaky) activation, fp32 out."""
-    x = x.astype(jnp.float32)
-    if sx is None:
-        sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
-    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    accumulation, per-channel rescale + bias + (leaky) activation, fp32 out.
+
+    **int8-resident variants** (the static-calibration Amdahl fix,
+    PERF.md round 3): when ``x`` arrives already int8 it is consumed
+    directly at scale ``sx`` (the producer quantized it — no round-trip
+    through fp32 in HBM); when ``out_scale`` is given, the epilogue folds
+    rescale + bias + leaky + the *next* conv's requantization into one
+    fused register-resident expression and writes int8, quartering the
+    activation HBM traffic between directly-chained convs.  LeakyReLU is
+    positively homogeneous (``leaky(y/s) == leaky(y)/s`` for ``s > 0``),
+    so requantizing before the activation is exact up to fp reassociation."""
+    if x.dtype == jnp.int8:
+        if sx is None:
+            raise ValueError("int8-resident input requires a static scale")
+        xq = x
+    else:
+        x = x.astype(jnp.float32)
+        if sx is None:
+            sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     p = spec.padding
     acc = lax.conv_general_dilated(
         xq, wq,
@@ -129,6 +208,15 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
+    if out_scale is not None:
+        # Emit int8 at the consumer's calibrated input scale.  leaky
+        # commutes with the positive per-channel scale, so divide first and
+        # activate after — everything between the two MXU ops is one fused
+        # elementwise chain with no fp32 tensor materialized.
+        y = acc.astype(jnp.float32) * (sx * ws / out_scale) + b / out_scale
+        if spec.activation == "leaky":
+            y = jnp.where(y > 0, y, 0.1 * y)
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     y = acc.astype(jnp.float32) * (sx * ws) + b
     if spec.activation == "leaky":
         y = jnp.where(y > 0, y, 0.1 * y)

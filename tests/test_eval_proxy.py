@@ -1,0 +1,84 @@
+"""Oracle-chain mAP proxy (VERDICT r2 #3).
+
+The driver's accuracy mandate is mAP parity on real COCO assets, which do
+not exist in this container.  The strongest available stand-in: score the
+framework's detections against the *independent torch/NCHW oracle chain's*
+detections treated as ground truth, through the same mAP evaluator that
+will score the real assets.  At fp32/HIGHEST the two chains compute the
+same documented Darknet math, so mAP@0.5 must be ~1.0 — a broken decode,
+NMS, un-letterbox, or evaluator drops it far below.
+
+This exercises: letterbox -> forward -> decode -> NMS -> unletterbox on
+both chains, plus eval.evaluate itself, across model families (tiny + the
+reorg-carrying yolov2) and resolutions (320/416).
+"""
+
+import numpy as np
+import pytest
+
+import pytorch_yolo_tpu as pyt
+from pytorch_yolo_tpu.eval import ImageEval, evaluate
+from pytorch_yolo_tpu.models.zoo import model_spec
+from pytorch_yolo_tpu.ops.preprocess import letterbox_geometry
+from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+from tests.oracle.torch_ref import (
+    decode_all_oracle,
+    forward_oracle,
+    letterbox_oracle,
+    nms_oracle,
+    raw_to_oracle,
+)
+
+
+def _image(seed, h=480, w=640):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _oracle_detections(spec, raw, img, size, conf, iou):
+    x = letterbox_oracle(img, size)
+    heads = forward_oracle(spec, raw_to_oracle(raw), x.transpose(2, 0, 1)[None])
+    dec = decode_all_oracle(spec, heads, size)
+    rows = nms_oracle(dec[0], conf, iou)
+    geo = letterbox_geometry(img.shape[0], img.shape[1], size)
+    x1 = np.clip((rows[:, 0] - geo.pad_x) / geo.scale, 0, img.shape[1])
+    y1 = np.clip((rows[:, 1] - geo.pad_y) / geo.scale, 0, img.shape[0])
+    x2 = np.clip((rows[:, 2] - geo.pad_x) / geo.scale, 0, img.shape[1])
+    y2 = np.clip((rows[:, 3] - geo.pad_y) / geo.scale, 0, img.shape[0])
+    boxes = np.stack([x1, y1, x2, y2], axis=1)
+    return boxes, rows[:, 4], rows[:, 6].astype(np.int64)
+
+
+@pytest.mark.parametrize("model,size,conf", [
+    ("yolov3-tiny", 416, 0.9),
+    ("yolov3-tiny", 320, 0.9),
+    # v2's synthetic-weight objectness tops out ~0.77 (region head): a lower
+    # conf keeps detections present while the count stays far under max_det
+    ("yolov2", 320, 0.6),
+])
+def test_oracle_chain_map_proxy(model, size, conf):
+    spec = model_spec(model)
+    raw = random_raw_params(spec, seed=42)
+    det = pyt.Detector(spec, fold_batchnorm(spec, raw))
+    iou, max_det = 0.45, 1024
+    evals = []
+    for seed in (1, 2):
+        img = _image(seed)
+        d = det.detect(img, size=size, conf=conf, iou=iou, max_det=max_det)
+        gt_boxes, gt_scores, gt_cls = _oracle_detections(
+            spec, raw, img, size, conf, iou)
+        # exclude conf-boundary oracle detections from the GT side: a
+        # candidate the oracle scores at conf+1e-4 and the framework at
+        # conf-1e-4 (same math, different fp order) is a threshold flip,
+        # not an accuracy failure — and with per-class AP averaging one
+        # such single-GT class would zero out an entire class AP.
+        solid = gt_scores > conf + 0.02
+        gt_boxes, gt_cls = gt_boxes[solid], gt_cls[solid]
+        assert len(gt_boxes), "fixture must produce oracle detections"
+        evals.append(ImageEval(
+            det_boxes=d.boxes, det_scores=d.obj, det_classes=d.cls_id,
+            gt_boxes=gt_boxes, gt_classes=gt_cls))
+    r = evaluate(evals, iou_thresh=0.5)
+    # boundary candidates (conf/IoU exact ties under different fp orders)
+    # can flip a handful of detections; anything structural craters this
+    assert r["mAP"] >= 0.95, r

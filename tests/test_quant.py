@@ -185,3 +185,167 @@ def test_calib_rejects_prequantized(tiny):
     with pytest.raises(ValueError, match="pre-quantized"):
         pyt.Detector(spec, qp, quant="w8a8",
                      quant_calib=[np.zeros((64, 64, 3), np.uint8)])
+
+
+# ---------------------------------------------------------------------------
+# Calibration options (margin / percentile) — VERDICT r2 #5
+# ---------------------------------------------------------------------------
+
+
+def test_collect_act_scales_margin_and_percentile(tiny):
+    from pytorch_yolo_tpu.ops.quant import collect_act_scales
+
+    spec, params = tiny
+    x = np.random.default_rng(3).random((2, 96, 96, 3)).astype(np.float32)
+    base = collect_act_scales(spec, params, x)
+    # margin multiplies every scale linearly
+    wide = collect_act_scales(spec, params, x, margin=1.25)
+    for k in base:
+        np.testing.assert_allclose(wide[k], base[k] * 1.25, rtol=1e-6)
+    # a percentile below 100 never exceeds the max-calibrated scale, and an
+    # outlier activation no longer stretches it
+    p999 = collect_act_scales(spec, params, x, percentile=99.9)
+    assert set(p999) == set(base)
+    assert all(p999[k] <= base[k] * (1 + 1e-6) for k in base)
+    x_outlier = x.copy()
+    x_outlier[0, 0, 0, 0] = 50.0  # one absurd pixel
+    base_o = collect_act_scales(spec, params, x_outlier)
+    p999_o = collect_act_scales(spec, params, x_outlier, percentile=99.9)
+    assert base_o[0] > 10 * base[0]       # max calibration blows up
+    assert p999_o[0] < 2 * p999[0]        # percentile calibration shrugs
+    with pytest.raises(ValueError, match="percentile"):
+        collect_act_scales(spec, params, x, percentile=0.0)
+
+
+def test_calibration_set_size_robustness(tiny):
+    """Static scales from 2 vs 6 calibration images give closely-agreeing
+    detections (drift sensitivity to calibration-set size, CPU backend)."""
+    spec, params = tiny
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
+            for _ in range(6)]
+    det_small = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs[:2],
+                             quant_calib_percentile=99.9)
+    det_big = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           quant_calib_percentile=99.9)
+    probe = rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
+    a = det_small.detect(probe, size=320, conf=0.3)
+    b = det_big.detect(probe, size=320, conf=0.3)
+    assert abs(len(a) - len(b)) <= max(3, len(a) // 4)
+
+
+def test_collect_stats_and_stop_at_mutually_exclusive(tiny):
+    spec, _ = tiny
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_forward(spec, stop_at=3,
+                      collect_conv_in_stats=lambda t: jnp.max(jnp.abs(t)))
+
+
+# ---------------------------------------------------------------------------
+# int8-resident chains (static int8 keeps activations int8 between MXU ops)
+# ---------------------------------------------------------------------------
+
+
+def _static_quantized(spec, params, seed=5):
+    from pytorch_yolo_tpu.ops.quant import collect_act_scales
+
+    x = np.random.default_rng(seed).random((1, 96, 96, 3)).astype(np.float32)
+    scales = collect_act_scales(spec, params, x)
+    return quantize_params(spec, params, act_scales=scales)
+
+
+def test_int8_resident_chain_map(tiny):
+    from pytorch_yolo_tpu.config import MaxPoolSpec
+    from pytorch_yolo_tpu.models.darknet import _needed_outputs
+    from pytorch_yolo_tpu.ops.quant import int8_resident_chains
+
+    spec, params = tiny
+    qp = _static_quantized(spec, params)
+    chains = int8_resident_chains(spec, qp)
+    assert chains, "tiny's conv->maxpool->conv ladder must admit chains"
+    needed = _needed_outputs(spec)
+    spans_pool = False
+    for j, k in chains.items():
+        assert "wq" in qp[j] and "wq" in qp[k] and "sa" in qp[k]
+        assert j not in needed
+        between = spec.layers[j + 1:k]
+        assert all(isinstance(l, MaxPoolSpec) or type(l).__name__ ==
+                   "UpsampleSpec" for l in between)
+        spans_pool = spans_pool or any(
+            isinstance(l, MaxPoolSpec) for l in between)
+    assert spans_pool  # the tiny family's signature link
+    # dynamic quantization (no "sa") admits no chains
+    assert int8_resident_chains(spec, quantize_params(
+        spec, params, skip_layers=())) == {}
+
+
+def test_int8_resident_chains_yolov3():
+    """Darknet-53's 1x1->3x3 residual halves chain (the flagship's case)."""
+    from pytorch_yolo_tpu.ops.quant import int8_resident_chains
+
+    spec = model_spec("yolov3")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=0))
+    qp = _static_quantized(spec, params)
+    chains = int8_resident_chains(spec, qp)
+    # every residual block's 1x1 conv feeds its 3x3 partner directly
+    assert len(chains) >= 23
+    assert all(k == j + 1 for j, k in chains.items()
+               if isinstance(spec.layers[j + 1], ConvSpec))
+
+
+def test_int8_resident_matches_nonresident(tiny, monkeypatch):
+    """The resident path (int8 handoff between convs) tracks the fp32-glue
+    static-int8 path: requantization before vs after leaky differs only by
+    fp reassociation, i.e. at most one int8 step per link."""
+    spec, params = tiny
+    qp = _static_quantized(spec, params)
+    jqp = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+           for k, v in qp.items()}
+    x = jnp.asarray(
+        np.random.default_rng(6).random((1, 160, 160, 3), np.float32))
+    monkeypatch.setenv("PYTORCH_YOLO_NO_INT8_RESIDENT", "1")
+    heads_glue = build_forward(spec, quant="w8a8")(jqp, x)
+    monkeypatch.delenv("PYTORCH_YOLO_NO_INT8_RESIDENT")
+    heads_res = build_forward(spec, quant="w8a8")(jqp, x)
+    for g, r in zip(heads_glue, heads_res):
+        g, r = np.asarray(g), np.asarray(r)
+        rel = np.abs(g - r) / (np.abs(g) + 1.0)
+        assert rel.mean() < 5e-3, rel.mean()
+        assert np.quantile(rel, 0.99) < 5e-2
+
+
+def test_int8_maxpool_commutes_with_quantization():
+    """max over int8 == quantize(max over fp): the property that lets
+    conv->maxpool->conv ladders stay int8 through the pool."""
+    from pytorch_yolo_tpu.config import MaxPoolSpec
+    from pytorch_yolo_tpu.models.darknet import _maxpool
+
+    rng = np.random.default_rng(7)
+    xf = rng.normal(scale=3.0, size=(2, 13, 13, 8)).astype(np.float32)
+    s = np.float32(0.123)
+    xq = np.clip(np.round(xf / s), -127, 127).astype(np.int8)
+    for size, stride in ((2, 2), (2, 1), (3, 1)):
+        mp = MaxPoolSpec(index=0, size=size, stride=stride)
+        got = np.asarray(_maxpool(jnp.asarray(xq), mp))
+        assert got.dtype == np.int8
+        want = np.clip(np.round(np.asarray(
+            _maxpool(jnp.asarray(xf), mp)) / s), -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_detector_static_int8_resident_end_to_end(tiny, monkeypatch):
+    """Full Detector pipeline: resident vs kill-switch detections agree."""
+    spec, params = tiny
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    monkeypatch.setenv("PYTORCH_YOLO_NO_INT8_RESIDENT", "1")
+    det_glue = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    a = det_glue.detect(imgs[0], size=320, conf=0.3)
+    monkeypatch.delenv("PYTORCH_YOLO_NO_INT8_RESIDENT")
+    det_res = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    b = det_res.detect(imgs[0], size=320, conf=0.3)
+    assert abs(len(a) - len(b)) <= max(3, len(a) // 4)
+    if len(a) and len(b):
+        d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1).min(1)
+        assert (d < 8.0).mean() > 0.8

@@ -113,6 +113,29 @@ def test_quantized_detector_on_mesh(mesh):
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
 
 
+def test_static_int8_resident_on_mesh(mesh):
+    """Static-calibration int8 with int8-resident chains (round-3 path)
+    under GSPMD: mesh results match single-device exactly (same program
+    partitioned over batch — int8 tensors shard like fp ones)."""
+    rng = np.random.default_rng(5)
+    calib = [rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+             for _ in range(2)]
+    det_single = pyt.Detector.load("yolov3-tiny", quant="w8a8",
+                                   quant_calib=calib)
+    assert any("sa" in p for p in det_single.params.values())
+    det_mesh = pyt.Detector(det_single.spec,
+                            {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                             for k, v in det_single.params.items()},
+                            mesh=mesh)  # pre-quantized static params adopted
+    imgs = np.stack([np.random.default_rng(i).integers(
+        0, 256, (240, 320, 3), dtype=np.uint8) for i in range(8)])
+    r_single = det_single.detect_batch(imgs, size=320, conf=0.4)
+    r_mesh = det_mesh.detect_batch(imgs, size=320, conf=0.4)
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+
+
 def test_bf16_serving_default_on_mesh(mesh):
     """The shipped bf16 serving config (S2D stem auto-on for conv_conv)
     must shard: packed stem weights are built at trace time from the
@@ -134,12 +157,19 @@ def test_bf16_serving_default_on_mesh(mesh):
     r_single = det_single.detect_batch(imgs, size=96, conf=0.2)
     r_mesh = det_mesh.detect_batch(imgs, size=96, conf=0.2)
     assert len(r_single) == len(r_mesh) == 8
-    # bf16 + random weights is chaotic: a differently-partitioned program
-    # legitimately reorders near-tie detections, so exact box equality is
-    # the wrong property (the fp32 test above pins numerical parity).
-    # What must hold: the packed-stem program compiles and executes under
-    # GSPMD and produces structurally valid detections per image.
+    # Structural validity of every mesh detection...
     for b in r_mesh:
         assert b.boxes.shape[1:] == (4,)
         assert np.isfinite(b.boxes).all()
         assert ((b.cls_id >= 0) & (b.cls_id < 80)).all()
+    # ...plus a quantitative bound (VERDICT r2 #7): bf16 + random weights
+    # means a differently-partitioned program may reorder near-tie
+    # detections, so exact equality is the wrong property (the fp32 test
+    # above pins that) — but one-to-one matched drift between the mesh and
+    # single-device runs must stay inside the same envelope the hardware
+    # drift table allows the serving default (agree>=0.85, sub-2px boxes).
+    from pytorch_yolo_tpu.utils.drift import detection_drift
+
+    stats = detection_drift(r_single, r_mesh)
+    assert stats.set_agreement >= 0.85, stats.row()
+    assert stats.box_p99_px <= 2.0, stats.row()
