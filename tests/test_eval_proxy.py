@@ -72,7 +72,13 @@ def test_oracle_chain_map_proxy(model, size, conf):
         # conf-1e-4 (same math, different fp order) is a threshold flip,
         # not an accuracy failure — and with per-class AP averaging one
         # such single-GT class would zero out an entire class AP.
-        solid = gt_scores > conf + 0.02
+        # ...and degenerate boxes: a detection clipped entirely onto an
+        # image edge has zero area, and IoU(a, a) = 0/0 = 0 for zero-area
+        # boxes — both chains produce the identical degenerate box, but no
+        # IoU matcher can pair them (real COCO GT has no zero-area boxes).
+        area = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                * (gt_boxes[:, 3] - gt_boxes[:, 1]))
+        solid = (gt_scores > conf + 0.02) & (area > 1.0)
         gt_boxes, gt_cls = gt_boxes[solid], gt_cls[solid]
         assert len(gt_boxes), "fixture must produce oracle detections"
         evals.append(ImageEval(
