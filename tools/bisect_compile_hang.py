@@ -56,11 +56,23 @@ if probe == "forward":  # plain XLA forward only
                                precision="default"))
     np.asarray(fn(params, x)[0])
 elif probe == "decode_pallas":  # fused decode kernels for every head
+    # CAVEAT (learned on hardware, r3): the un-jitted forward here compiles
+    # each op separately over the tunnel (~15-30 s per op), so a short
+    # --timeout times out on compile latency, not the decode kernel.  Use
+    # decode_direct to isolate the kernel itself.
     from pytorch_yolo_tpu.models.darknet import build_forward
     from pytorch_yolo_tpu.ops.pallas_kernels import decode_score_all
     x = jnp.asarray(rng.random((4, 416, 416, 3)).astype(np.float32))
     heads = build_forward(spec)(params, x)
     rows = decode_score_all(tuple(heads), spec, 416, use_pallas=True)
+    np.asarray(rows)
+elif probe == "decode_direct":  # decode kernel alone, synthetic head input
+    from pytorch_yolo_tpu.models.darknet import head_shapes
+    from pytorch_yolo_tpu.ops.pallas_kernels import decode_score_all
+    shapes = head_shapes(spec, 416, batch=4)
+    heads = tuple(jnp.asarray(rng.normal(size=s).astype(np.float32))
+                  for s in shapes)
+    rows = decode_score_all(heads, spec, 416, use_pallas=True)
     np.asarray(rows)
 elif probe == "nms_pallas":  # NMS kernel alone at serving batch
     from pytorch_yolo_tpu.ops.pallas_kernels import nms_keep_pallas
