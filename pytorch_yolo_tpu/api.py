@@ -151,8 +151,9 @@ class Detector:
                 # quant_calib_bgr must match how the detector will be served
                 # (detect(bgr=...)): calibrating on channel-swapped images
                 # mismatches the scales to the served activation statistics.
-                # Default True matches cv2.imread-style BGR inputs (the CLI);
-                # the evaluate path (RGB) passes False.
+                # Default True matches cv2.imread-style BGR inputs (every
+                # CLI path, incl. evaluate); pass False when serving RGB
+                # frames with detect(bgr=False).
                 s = (spec.net.height, spec.net.width)
                 canvases = np.stack([
                     letterbox_host(_normalize_channels(im), s,
