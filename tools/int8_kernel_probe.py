@@ -244,6 +244,68 @@ def gemm_pair_pallas():
 
 guard(9, "pallas_gemm_int8", gemm_pair_pallas)
 
+# ---- F. epilogue-variant ladder at B=64 on the large-spatial shapes ------
+# First run showed: fp glue collapses the 52-sq pair at b64 (59 TOPS) while
+# an int-only epilogue runs 231 TOPS and the deep 13-sq shape hits 306 (78%
+# of peak) regardless.  Isolate WHICH part of the fp epilogue triggers the
+# collapse, on the two shapes that dominate early-YOLOv3 conv time.
+
+def ladder_variants(cn):
+    ws = jnp.asarray(rng.random((1, 1, 1, cn)).astype(np.float32) * 1e-4)
+    bias = jnp.asarray(rng.random((cn,)).astype(np.float32))
+
+    def v_pure(a):
+        return jnp.clip(a >> 7, -127, 127).astype(jnp.int8)
+
+    def v_fp_min(a):          # scalar scale, no bias/leaky, round
+        f = a.astype(jnp.float32) * 1e-4
+        return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+
+    def v_fp_noround(a):      # scalar scale, truncating cast
+        f = a.astype(jnp.float32) * 1e-4
+        return jnp.clip(f, -127.0, 127.0).astype(jnp.int8)
+
+    def v_fp_perchan(a):      # per-channel scale, no bias/leaky, round
+        f = a.astype(jnp.float32) * ws
+        return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+
+    def v_fp_prod(a):         # exact production resident epilogue shape
+        f = a.astype(jnp.float32) * ws + bias
+        f = jnp.where(f > 0, f, 0.1 * f)
+        return jnp.clip(jnp.round(f), -127, 127).astype(jnp.int8)
+
+    def v_intreq(a):
+        return epi_intreq(a)
+
+    return [("pure", v_pure), ("fp_min", v_fp_min),
+            ("fp_noround", v_fp_noround), ("fp_perchan", v_fp_perchan),
+            ("fp_prod", v_fp_prod), ("intreq", v_intreq)]
+
+def epilogue_ladder(label, hw, cw, cn, batch=64):
+    rows = []
+    xq = jax.device_put(rng.integers(-127, 128, (batch, hw, hw, cw)
+                                     ).astype(np.int8))
+    w1 = jnp.asarray(rng.integers(-127, 128, (1, 1, cw, cn)).astype(np.int8))
+    w3 = jnp.asarray(rng.integers(-127, 128, (3, 3, cn, cw)).astype(np.int8))
+    flops = 2 * batch * hw * hw * (cw * cn + 9 * cn * cw)
+    for vname, epi_a in ladder_variants(cn):
+        # second conv returns to cw channels: rebuild variant for that width
+        epi_b = dict(ladder_variants(cw))[vname]
+
+        def pair(y):
+            return epi_b(conv_i8(epi_a(conv_i8(y, w1, 0)), w3, 1))
+
+        jf = jax.jit(lambda xx: lax.fori_loop(
+            0, REPS, lambda _, y: pair(y), xx).astype(jnp.int32).sum())
+        row = {"label": label, "variant": vname, "batch": batch,
+               **time_chain(jf, xq, flops)}
+        emit(step="epilogue_ladder", **row)
+        rows.append(row)
+    return rows
+
+guard(10, "ladder_52_b64", lambda: epilogue_ladder("52 256<->128", 52, 256, 128))
+guard(11, "ladder_104_b64", lambda: epilogue_ladder("104 128<->64", 104, 128, 64))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
