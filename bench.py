@@ -154,11 +154,15 @@ def _load_detector(model: str, compute_dtype: str, precision: str, rng):
 
     _ensure_compile_cache()
     label, quant, calib = compute_dtype, None, None
-    if compute_dtype in ("int8", "int8s"):
-        if compute_dtype == "int8s":
+    if compute_dtype in ("int8", "int8s", "int8sb"):
+        if compute_dtype in ("int8s", "int8sb"):
             calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
                      for _ in range(4)]
-        quant, compute_dtype = "w8a8", "float32"
+        # int8sb: static int8 core with bf16 (not fp32) glue for the
+        # unquantized layers — halves the activation HBM traffic of the
+        # early-skipped stages and the heads.
+        quant, compute_dtype = "w8a8", (
+            "bfloat16" if compute_dtype == "int8sb" else "float32")
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
                         precision=precision, quant=quant, quant_calib=calib)
     return det, label

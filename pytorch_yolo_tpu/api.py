@@ -128,12 +128,22 @@ class Detector:
         if quant is None and quant_calib is not None:
             raise ValueError("quant_calib given but quant is None — pass "
                              "quant='w8a8' to use static int8 calibration")
+        self._quant_skip: frozenset[int] = frozenset()
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if
             # already int8).  quant_skip_layers="heads" (default) keeps the
             # detection-head output convs in fp — the int8 mAP-killer.
-            from .ops.quant import collect_act_scales, quantize_params
+            # resolve_skip_layers additionally skips the large-spatial early
+            # convs (input stride < 8), which the b64 stage profile measured
+            # SLOWER under int8 than bf16 (requant overhead, no MXU gain —
+            # perf/int8_stage_profile_r3.jsonl); env
+            # PYTORCH_YOLO_INT8_EARLY_STRIDE=0 restores quantize-everything.
+            from .ops.quant import (collect_act_scales, quantize_params,
+                                    resolve_skip_layers)
+
+            quant_skip_layers = resolve_skip_layers(spec, quant_skip_layers)
+            self._quant_skip = quant_skip_layers
 
             act_scales = None
             if quant_calib is not None:
@@ -177,11 +187,21 @@ class Detector:
             from .models.darknet import _stem_pattern
 
             env = os.environ.get("PYTORCH_YOLO_STEM_S2D")
-            pattern = _stem_pattern(spec) if quant is None else None
+            pattern = _stem_pattern(spec)
+            if quant is not None and not {0, 1} <= self._quant_skip:
+                # s2d packs the stem's fp kernels; a quantized stem (early
+                # skip disabled) has none to pack.  With the default early
+                # skip the stem convs stay fp, so s2d composes with int8
+                # (measured A/B: tools/int8_serving_ab_r3.py).
+                pattern = None
             if env == "0":
                 stem_s2d = False
             elif env == "1":
                 stem_s2d = pattern is not None
+            elif quant is not None:
+                # int8 is a throughput mode by definition; the fp stem
+                # (early-skipped) gets the same s2d win as bf16 serving.
+                stem_s2d = pattern == "conv_conv"
             else:
                 # Data-driven default: only the conv_conv (Darknet-53) stem
                 # measured faster on TPU (+6% bf16); conv_pool (tiny/v2) was

@@ -274,9 +274,9 @@ def build_forward(
                          "exclusive: the truncated return path would drop "
                          "the collected statistics")
     if stem_s2d:
-        if quant is not None:
-            raise ValueError("stem_s2d is a fp/bf16 path; not composable with "
-                             "int8 quant (the stem convs carry int8 weights)")
+        # Composable with quant as long as the stem convs themselves are
+        # unquantized (the default early-layer skip guarantees it —
+        # ops/quant.resolve_skip_layers); _packed_conv0 checks at trace time.
         if not stem_s2d_applicable(spec):
             raise ValueError("model's first two layers are not a "
                              "transformable stem pattern "
@@ -321,6 +321,12 @@ def build_forward(
             # Packed at trace time from the canonical params (tiny slice
             # writes — XLA folds them; the pytree layout is untouched so
             # checkpoints/quant/sharding never see the transform).
+            if "w" not in params[0] or (pattern == "conv_conv"
+                                        and "w" not in params[1]):
+                raise ValueError(
+                    "stem_s2d requires fp stem kernels, but the stem convs "
+                    "are int8-quantized — keep layers 0/1 in the quant skip "
+                    "set (default PYTORCH_YOLO_INT8_EARLY_STRIDE=8 does)")
             pw0, pb0 = _pack_s2d_conv0(params[0]["w"], params[0]["b"])
             y = _space_to_depth(xx).astype(dtype)
             y = lax.conv_general_dilated(

@@ -51,6 +51,65 @@ def head_conv_indices(spec: ModelSpec) -> frozenset[int]:
                      if isinstance(l, ConvSpec) and (l.index + 1) in head_idx)
 
 
+def conv_input_strides(spec: ModelSpec) -> "dict[int, int]":
+    """Per-conv input stride (net-input pixels per feature cell at the
+    layer's input).  Routes/shortcuts take their source's stride, so the
+    map is exact for branched necks, not just linear backbones."""
+    from ..config import ReorgSpec, RouteSpec, ShortcutSpec
+
+    out_stride: dict[int, int] = {}
+    in_stride: dict[int, int] = {}
+    cur = 1
+    for layer in spec.layers:
+        idx = layer.index
+        if isinstance(layer, RouteSpec):
+            cur = out_stride[layer.layers[0]]
+        elif isinstance(layer, ShortcutSpec):
+            cur = out_stride[idx - 1]
+        in_stride[idx] = cur
+        if isinstance(layer, (ConvSpec, MaxPoolSpec, ReorgSpec)):
+            cur *= layer.stride
+        elif isinstance(layer, UpsampleSpec):
+            cur //= layer.stride
+        out_stride[idx] = cur
+    return {l.index: in_stride[l.index] for l in spec.layers
+            if isinstance(l, ConvSpec)}
+
+
+def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:
+    """Convs operating on large-spatial tensors (input stride < min_stride).
+
+    These layers are HBM-bandwidth / VPU-bound, not MXU-bound: the b64
+    stage profile (perf/int8_stage_profile_r3.jsonl) measured the int8
+    conv0/208-sq stages *slower* than bf16 (requant overhead with no MXU
+    gain — the first conv's K=27 can't even fill the 256-wide MXU), while
+    stride>=8 stages sped up 1.3-2x under int8.  Skipping them is
+    therefore faster AND lower-drift."""
+    return frozenset(i for i, s in conv_input_strides(spec).items()
+                     if s < min_stride)
+
+
+def resolve_skip_layers(spec: ModelSpec,
+                        skip_layers: "Container[int] | str" = "heads",
+                        early_min_stride: "int | None" = None) -> frozenset[int]:
+    """Resolve the ``skip_layers`` token/container into explicit indices and
+    union the early-layer skip.
+
+    ``early_min_stride=None`` reads ``PYTORCH_YOLO_INT8_EARLY_STRIDE``
+    (default 8; ``0`` disables the early skip — the measured A/B control,
+    restoring the round-3 quantize-everything-but-heads behavior)."""
+    import os
+
+    if early_min_stride is None:
+        early_min_stride = int(
+            os.environ.get("PYTORCH_YOLO_INT8_EARLY_STRIDE", "8"))
+    base = (head_conv_indices(spec) if skip_layers == "heads"
+            else frozenset(skip_layers))
+    if early_min_stride > 1:
+        base = base | early_conv_indices(spec, early_min_stride)
+    return base
+
+
 def quantize_params(spec: ModelSpec, params: dict,
                     skip_layers: "Container[int] | str" = "heads",
                     act_scales: "dict[int, float] | None" = None) -> dict:

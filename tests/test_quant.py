@@ -349,3 +349,87 @@ def test_detector_static_int8_resident_end_to_end(tiny, monkeypatch):
     if len(a) and len(b):
         d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1).min(1)
         assert (d < 8.0).mean() > 0.8
+
+
+# ---- early-layer skip (round 3: large-spatial convs stay fp) -------------
+
+
+def test_conv_input_strides_yolov3():
+    from pytorch_yolo_tpu.ops.quant import conv_input_strides
+
+    spec = model_spec("yolov3")
+    strides = conv_input_strides(spec)
+    assert strides[0] == 1            # stem conv on the raw input
+    assert strides[1] == 1            # 208-sq downsample conv reads stride-1
+    assert strides[12] == 4           # 104->52 downsample reads stride-4
+    # the three head convs read stride 32 / 16 / 8 (fpn top-down order)
+    from pytorch_yolo_tpu.ops.quant import head_conv_indices
+    head_strides = sorted(strides[i] for i in head_conv_indices(spec))
+    assert head_strides == [8, 16, 32]
+
+
+def test_early_conv_indices_families():
+    from pytorch_yolo_tpu.ops.quant import conv_input_strides, early_conv_indices
+
+    for name in ("yolov3", "yolov3-tiny", "yolov2"):
+        spec = model_spec(name)
+        early = early_conv_indices(spec, min_stride=8)
+        strides = conv_input_strides(spec)
+        assert early == frozenset(i for i, s in strides.items() if s < 8)
+        assert early, name  # every family has a large-spatial prefix
+
+
+def test_resolve_skip_layers_env(monkeypatch):
+    from pytorch_yolo_tpu.ops.quant import (early_conv_indices,
+                                            head_conv_indices,
+                                            resolve_skip_layers)
+
+    spec = model_spec("yolov3")
+    monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
+    assert resolve_skip_layers(spec) == (head_conv_indices(spec)
+                                         | early_conv_indices(spec, 8))
+    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "0")
+    assert resolve_skip_layers(spec) == head_conv_indices(spec)
+    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "4")
+    assert resolve_skip_layers(spec) == (head_conv_indices(spec)
+                                         | early_conv_indices(spec, 4))
+    # explicit container unions with the early skip too
+    assert resolve_skip_layers(spec, frozenset({50}),
+                               early_min_stride=8) == (
+        frozenset({50}) | early_conv_indices(spec, 8))
+
+
+def test_detector_early_skip_default(tiny, monkeypatch):
+    from pytorch_yolo_tpu.ops.quant import early_conv_indices
+
+    spec, params = tiny
+    monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
+    det = pyt.Detector(spec, params, quant="w8a8")
+    early = early_conv_indices(spec, 8)
+    for i in early:
+        assert "wq" not in det.params[i], f"early conv {i} was quantized"
+        assert "w" in det.params[i]
+    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "0")
+    det_all = pyt.Detector(spec, params, quant="w8a8")
+    assert all("wq" in det_all.params[i] for i in early)
+
+
+def test_detector_int8_stem_s2d_parity(monkeypatch):
+    """int8 + s2d stem (the new serving default for conv_conv models) tracks
+    the same quantization with the natural stem."""
+    spec = model_spec("yolov3")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=11))
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
+    det_s2d = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    assert det_s2d.stem_s2d
+    det_nat = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           stem_s2d=False)
+    a = det_s2d.detect(imgs[0], size=160, conf=0.3)
+    b = det_nat.detect(imgs[0], size=160, conf=0.3)
+    assert abs(len(a) - len(b)) <= max(2, len(b) // 10)
+    if len(a) and len(b):
+        d = np.abs(a.boxes[:, None, :] - b.boxes[None, :, :]).max(-1).min(1)
+        assert (d < 4.0).mean() > 0.9

@@ -86,9 +86,20 @@ def test_rejects_inapplicable_and_quant():
         "[maxpool]\nsize=2\nstride=2\n")
     with pytest.raises(ValueError, match="stem pattern"):
         build_forward(build_spec(cfg), stem_s2d=True)
+    # quant composes with s2d ONLY when the stem convs themselves keep fp
+    # kernels (the default early-layer skip guarantees that); a fully
+    # quantized stem has nothing to pack and must fail loudly at trace time
     spec = model_spec("yolov3")
-    with pytest.raises(ValueError, match="not composable"):
-        build_forward(spec, quant="w8a8", stem_s2d=True)
+    from pytorch_yolo_tpu.ops.quant import quantize_params
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=7))
+    qp = quantize_params(spec, params, skip_layers="heads")  # stem quantized
+    fwd = build_forward(spec, quant="w8a8", stem_s2d=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="fp stem kernels"):
+        fwd({k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+             for k, v in qp.items()}, x)
 
 
 def test_rejects_routed_stem():
@@ -131,7 +142,9 @@ def test_default_and_env_policy(monkeypatch):
     assert not Detector(spec, params).stem_s2d
     assert Detector(spec, params, compute_dtype=jnp.bfloat16,
                     precision="default").stem_s2d
-    assert not Detector(spec, params, quant="w8a8").stem_s2d
+    # int8 serving: the early-layer skip keeps the stem fp, so the
+    # conv_conv s2d win applies (measured A/B: perf/int8_serving_ab_r3)
+    assert Detector(spec, params, quant="w8a8").stem_s2d
     # env force-on (even fp32) / force-off (even bf16)
     monkeypatch.setenv("PYTORCH_YOLO_STEM_S2D", "1")
     assert Detector(spec, params).stem_s2d
