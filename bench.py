@@ -472,7 +472,8 @@ def main() -> None:
                     except Exception as e:  # keep sweeping; headline run follows
                         log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
             for dtype, prec in (("float32", "highest"), ("bfloat16", "default"),
-                                ("int8", "default"), ("int8s", "default")):
+                                ("int8", "default"), ("int8s", "default"),
+                                ("int8sb", "default")):
                 try:
                     measure_compute(args.model, args.size, 16, args.iters,
                                     dtype, prec)

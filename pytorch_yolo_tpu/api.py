@@ -135,14 +135,24 @@ class Detector:
             # already int8).  quant_skip_layers="heads" (default) keeps the
             # detection-head output convs in fp — the int8 mAP-killer.
             # resolve_skip_layers additionally skips the large-spatial early
-            # convs (input stride < 8), which the b64 stage profile measured
-            # SLOWER under int8 than bf16 (requant overhead, no MXU gain —
-            # perf/int8_stage_profile_r3.jsonl); env
-            # PYTORCH_YOLO_INT8_EARLY_STRIDE=0 restores quantize-everything.
+            # convs (input stride < 8) — but ONLY where the b64 A/B measured
+            # it a win (perf/int8_serving_ab_r3.jsonl): conv_conv stems
+            # served with reduced-precision glue (yolov3 int8+bf16 glue:
+            # 1602 img/s vs 1420 quantize-all).  fp32 glue pays 4x
+            # activation bytes on the skipped stages (1241 — a loss), and
+            # conv_pool families keep their early resident ladders (tiny:
+            # 4566 quantize-all vs 3350/4288 skipped).  Env
+            # PYTORCH_YOLO_INT8_EARLY_STRIDE forces either way.
+            from .models.darknet import _stem_pattern
             from .ops.quant import (collect_act_scales, quantize_params,
                                     resolve_skip_layers)
 
-            quant_skip_layers = resolve_skip_layers(spec, quant_skip_layers)
+            early_default = 8 if (
+                _stem_pattern(spec) == "conv_conv"
+                and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float16)
+            ) else 0
+            quant_skip_layers = resolve_skip_layers(
+                spec, quant_skip_layers, default_min_stride=early_default)
             self._quant_skip = quant_skip_layers
 
             act_scales = None

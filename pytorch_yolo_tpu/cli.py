@@ -49,7 +49,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 convs (2x MXU rate on v5e; dynamic "
-                        "activation scales unless --int8-calib is given)")
+                        "activation scales unless --int8-calib is given). "
+                        "Combine with --bf16 for the measured-fastest "
+                        "yolov3 serving mode (int8 core + bf16 glue, "
+                        "+19%% over bf16 alone at b64)")
     p.add_argument("--int8-skip-heads", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="keep the detection-head output convs in fp under "

@@ -91,18 +91,26 @@ def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:
 
 def resolve_skip_layers(spec: ModelSpec,
                         skip_layers: "Container[int] | str" = "heads",
-                        early_min_stride: "int | None" = None) -> frozenset[int]:
+                        early_min_stride: "int | None" = None,
+                        default_min_stride: int = 0) -> frozenset[int]:
     """Resolve the ``skip_layers`` token/container into explicit indices and
     union the early-layer skip.
 
-    ``early_min_stride=None`` reads ``PYTORCH_YOLO_INT8_EARLY_STRIDE``
-    (default 8; ``0`` disables the early skip — the measured A/B control,
-    restoring the round-3 quantize-everything-but-heads behavior)."""
+    ``early_min_stride=None`` reads ``PYTORCH_YOLO_INT8_EARLY_STRIDE``,
+    falling back to ``default_min_stride`` when the env var is unset.  The
+    caller picks the default from the measured A/B
+    (perf/int8_serving_ab_r3.jsonl, b64 same-session): the early skip pays
+    off ONLY for conv_conv stems served with reduced-precision glue
+    (yolov3 int8+bf16 1602 vs 1420 quantize-all) — with fp32 glue the 4x
+    activation bytes lose (1241), and conv_pool families (tiny/v2) keep
+    their early conv->maxpool->conv resident ladders (4566 vs 3350/4288).
+    ``0`` disables the early skip entirely."""
     import os
 
     if early_min_stride is None:
         early_min_stride = int(
-            os.environ.get("PYTORCH_YOLO_INT8_EARLY_STRIDE", "8"))
+            os.environ.get("PYTORCH_YOLO_INT8_EARLY_STRIDE",
+                           str(default_min_stride)))
     base = (head_conv_indices(spec) if skip_layers == "heads"
             else frozenset(skip_layers))
     if early_min_stride > 1:

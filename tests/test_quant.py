@@ -386,10 +386,13 @@ def test_resolve_skip_layers_env(monkeypatch):
 
     spec = model_spec("yolov3")
     monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
-    assert resolve_skip_layers(spec) == (head_conv_indices(spec)
-                                         | early_conv_indices(spec, 8))
-    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "0")
+    # env unset: the caller-supplied default decides
     assert resolve_skip_layers(spec) == head_conv_indices(spec)
+    assert resolve_skip_layers(spec, default_min_stride=8) == (
+        head_conv_indices(spec) | early_conv_indices(spec, 8))
+    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "0")
+    assert resolve_skip_layers(
+        spec, default_min_stride=8) == head_conv_indices(spec)
     monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "4")
     assert resolve_skip_layers(spec) == (head_conv_indices(spec)
                                          | early_conv_indices(spec, 4))
@@ -399,33 +402,58 @@ def test_resolve_skip_layers_env(monkeypatch):
         frozenset({50}) | early_conv_indices(spec, 8))
 
 
-def test_detector_early_skip_default(tiny, monkeypatch):
+def test_detector_early_skip_policy(tiny, monkeypatch):
+    """Early skip engages ONLY for conv_conv stems with reduced-precision
+    glue (measured A/B, perf/int8_serving_ab_r3.jsonl); conv_pool families
+    and fp32 glue keep quantize-everything-but-heads.  Env forces both
+    ways."""
     from pytorch_yolo_tpu.ops.quant import early_conv_indices
 
-    spec, params = tiny
+    spec, params = tiny  # conv_pool family
+    early = early_conv_indices(spec, 8)
     monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
     det = pyt.Detector(spec, params, quant="w8a8")
-    early = early_conv_indices(spec, 8)
-    for i in early:
-        assert "wq" not in det.params[i], f"early conv {i} was quantized"
-        assert "w" in det.params[i]
+    assert all("wq" in det.params[i] for i in early)  # ladders stay resident
+    det_b = pyt.Detector(spec, params, quant="w8a8",
+                         compute_dtype=jnp.bfloat16, precision="default")
+    assert all("wq" in det_b.params[i] for i in early)  # conv_pool: still all
+    monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "8")
+    det_env = pyt.Detector(spec, params, quant="w8a8")
+    assert all("wq" not in det_env.params[i] and "w" in det_env.params[i]
+               for i in early)
+
+    monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
+    v3 = model_spec("yolov3")  # conv_conv flagship
+    v3p = fold_batchnorm(v3, random_raw_params(v3, seed=4))
+    v3_early = early_conv_indices(v3, 8)
+    det_v3_fp = pyt.Detector(v3, v3p, quant="w8a8")
+    assert all("wq" in det_v3_fp.params[i] for i in v3_early)  # fp32 glue
+    assert not det_v3_fp.stem_s2d
+    det_v3_b = pyt.Detector(v3, v3p, quant="w8a8",
+                            compute_dtype=jnp.bfloat16, precision="default")
+    assert all("wq" not in det_v3_b.params[i] for i in v3_early)
+    assert det_v3_b.stem_s2d  # fp stem + conv_conv: s2d composes
     monkeypatch.setenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", "0")
-    det_all = pyt.Detector(spec, params, quant="w8a8")
-    assert all("wq" in det_all.params[i] for i in early)
+    det_v3_b0 = pyt.Detector(v3, v3p, quant="w8a8",
+                             compute_dtype=jnp.bfloat16, precision="default")
+    assert all("wq" in det_v3_b0.params[i] for i in v3_early)
+    assert not det_v3_b0.stem_s2d  # quantized stem: nothing to pack
 
 
 def test_detector_int8_stem_s2d_parity(monkeypatch):
-    """int8 + s2d stem (the new serving default for conv_conv models) tracks
-    the same quantization with the natural stem."""
+    """int8+bf16-glue with s2d stem (the measured-fastest yolov3 serving
+    mode) tracks the same quantization with the natural stem."""
     spec = model_spec("yolov3")
     params = fold_batchnorm(spec, random_raw_params(spec, seed=11))
     rng = np.random.default_rng(11)
     imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
             for _ in range(2)]
     monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
-    det_s2d = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    det_s2d = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           compute_dtype=jnp.bfloat16, precision="default")
     assert det_s2d.stem_s2d
     det_nat = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           compute_dtype=jnp.bfloat16, precision="default",
                            stem_s2d=False)
     a = det_s2d.detect(imgs[0], size=160, conf=0.3)
     b = det_nat.detect(imgs[0], size=160, conf=0.3)

@@ -173,3 +173,40 @@ def test_bf16_serving_default_on_mesh(mesh):
     stats = detection_drift(r_single, r_mesh)
     assert stats.set_agreement >= 0.85, stats.row()
     assert stats.box_p99_px <= 2.0, stats.row()
+
+
+def test_int8sb_serving_mode_on_mesh(mesh):
+    """The measured-fastest yolov3 serving mode (int8 core + bf16 glue +
+    early-layer skip + S2D stem — perf/int8_serving_ab_r3.jsonl) under
+    GSPMD: policy engages on both detectors, and mesh-vs-single drift
+    stays inside the serving envelope (bf16 near-ties may reorder, so
+    matched drift, not exact equality)."""
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.ops.quant import early_conv_indices
+    from pytorch_yolo_tpu.utils.drift import detection_drift
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    spec = model_spec("yolov3")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=9))
+    host = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+            for k, v in params.items()}
+    rng = np.random.default_rng(9)
+    calib = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+             for _ in range(2)]
+    kw = dict(quant="w8a8", quant_calib=calib,
+              compute_dtype=jnp.bfloat16, precision="default")
+    det_single = pyt.Detector(spec, host, **kw)
+    det_mesh = pyt.Detector(spec, host, mesh=mesh, **kw)
+    early = early_conv_indices(spec, 8)
+    for det in (det_single, det_mesh):
+        assert det.stem_s2d
+        assert all("wq" not in det.params[i] for i in early)
+        assert any("sa" in p for p in det.params.values())
+    imgs = np.random.default_rng(3).integers(
+        0, 256, size=(8, 96, 128, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, size=96, conf=0.2)
+    r_mesh = det_mesh.detect_batch(imgs, size=96, conf=0.2)
+    assert len(r_single) == len(r_mesh) == 8
+    stats = detection_drift(r_single, r_mesh)
+    assert stats.set_agreement >= 0.85, stats.row()
+    assert stats.box_p99_px <= 2.0, stats.row()
