@@ -16,6 +16,8 @@ yolov3.weights       248 007 048   full YOLOv3-416 COCO weights
 yolov3-tiny.weights   35 434 956   tiny-YOLOv3 COCO weights
 yolov3-spp.weights   252 732 052   YOLOv3-SPP COCO weights
 yolov2.weights       203 934 260   YOLOv2-608 COCO weights
+yolov4.weights       257 717 640   YOLOv4-416 COCO weights (CSP+SPP+PAN)
+yolov4-tiny.weights   24 251 276   tiny-YOLOv4 COCO weights
 instances_val2017.json     ~19 MB  COCO 2017 val annotations
 val2017/                  5k jpgs  COCO 2017 val images
 ===================  ============  =======================================
@@ -39,6 +41,11 @@ EXPECTED_WEIGHTS = {
     "yolov3-spp.weights": 252_732_052,
     "yolov2.weights": 203_934_260,
     "yolov2-tiny.weights": 44_948_600,
+    # v4 sizes computed from the zoo specs (20-byte v0.2 header + 4 bytes per
+    # param); yolov4 matches the public release byte count exactly, which
+    # independently confirms the generator reproduces the upstream topology.
+    "yolov4.weights": 257_717_640,
+    "yolov4-tiny.weights": 24_251_276,
 }
 
 ANNOTATION_NAMES = ("instances_val2017.json", "instances_val2014.json")

@@ -48,9 +48,16 @@ class NetInfo:
     channels: int = 3
 
 
+CONV_ACTIVATIONS = ("leaky", "linear", "mish", "relu")
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvSpec:
-    """``[convolutional]``: conv (+BN) (+LeakyReLU 0.1)."""
+    """``[convolutional]``: conv (+BN) (+activation).
+
+    Activations: ``leaky`` (slope 0.1) / ``linear`` (YOLOv2/v3 family),
+    ``mish`` (x * tanh(softplus(x)), the YOLOv4 CSP backbone activation)
+    and ``relu`` (appears in some Darknet classifier cfgs)."""
 
     index: int
     in_channels: int
@@ -59,7 +66,7 @@ class ConvSpec:
     stride: int
     pad: int  # darknet pad flag: actual padding = size // 2 if pad else 0
     batch_normalize: bool
-    activation: str  # "leaky" | "linear"
+    activation: str  # one of CONV_ACTIVATIONS
 
     @property
     def padding(self) -> int:
@@ -89,10 +96,19 @@ class UpsampleSpec:
 class RouteSpec:
     """``[route]``: channel concat of one or more earlier layers.
 
-    ``layers`` hold absolute indices (negatives already resolved)."""
+    ``layers`` hold absolute indices (negatives already resolved).
+
+    ``groups``/``group_id`` implement the YOLOv4-tiny CSP split: each
+    source layer contributes only its ``group_id``-th of ``groups`` equal
+    channel slices (Darknet's route_layer copies
+    ``input_size/groups`` floats from offset ``group_id * part`` per
+    input).  The common case is a single-source split route
+    (``layers=-1, groups=2, group_id=1``)."""
 
     index: int
     layers: tuple[int, ...]
+    groups: int = 1
+    group_id: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,13 +158,19 @@ class RegionSpec:
 class YoloSpec:
     """``[yolo]`` detection head.
 
-    ``anchors`` are the mask-selected (w, h) pairs in net-input pixels."""
+    ``anchors`` are the mask-selected (w, h) pairs in net-input pixels.
+
+    ``scale_x_y`` (YOLOv4, "grid sensitivity" — arXiv 2004.10934 §3.3)
+    widens the sigmoid center offsets:
+    ``bx = (scale * sigmoid(tx) - 0.5 * (scale - 1) + cx) * stride``;
+    the YOLOv3 family leaves it at 1.0 (plain ``sigmoid(tx) + cx``)."""
 
     index: int
     anchors: tuple[tuple[float, float], ...]
     classes: int
     all_anchors: tuple[tuple[float, float], ...]
     mask: tuple[int, ...]
+    scale_x_y: float = 1.0
 
 
 LayerSpec = (ConvSpec | MaxPoolSpec | UpsampleSpec | RouteSpec | ShortcutSpec
@@ -287,7 +309,7 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
                 batch_normalize=bn,
                 activation=block.get("activation", "linear"),
             )
-            if spec.activation not in ("leaky", "linear"):
+            if spec.activation not in CONV_ACTIVATIONS:
                 raise ConfigError(f"layer {i}: unsupported activation {spec.activation!r}")
             ch = spec.filters
         elif btype == "maxpool":
@@ -299,8 +321,20 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
         elif btype == "route":
             refs = tuple(int(tok) for tok in block["layers"].replace(" ", "").split(",") if tok)
             resolved = tuple(_resolve(r, i) for r in refs)
-            spec = RouteSpec(index=i, layers=resolved)
-            ch = sum(out_ch[j] for j in resolved)
+            groups = _int(block, "groups", 1)
+            group_id = _int(block, "group_id", 0)
+            if groups < 1 or not 0 <= group_id < groups:
+                raise ConfigError(
+                    f"layer {i}: route group_id={group_id} out of range for "
+                    f"groups={groups}")
+            for j in resolved:
+                if out_ch[j] % groups:
+                    raise ConfigError(
+                        f"layer {i}: route source {j} has {out_ch[j]} channels, "
+                        f"not divisible by groups={groups}")
+            spec = RouteSpec(index=i, layers=resolved, groups=groups,
+                             group_id=group_id)
+            ch = sum(out_ch[j] // groups for j in resolved)
         elif btype == "shortcut":
             frm = _resolve(_int(block, "from"), i)
             spec = ShortcutSpec(index=i, from_layer=frm, activation=block.get("activation", "linear"))
@@ -350,6 +384,7 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
                 classes=_int(block, "classes", 80),
                 all_anchors=pairs,
                 mask=mask,
+                scale_x_y=float(block.get("scale_x_y", 1.0)),
             )
             ch = prev_ch
         else:

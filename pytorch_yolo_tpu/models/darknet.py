@@ -46,6 +46,23 @@ from ..config import (
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
 
 
+def apply_activation(y: jnp.ndarray, activation: str) -> jnp.ndarray:
+    """Darknet conv activations (config.CONV_ACTIVATIONS).
+
+    ``leaky`` slope is exactly 0.1 (SURVEY.md §7 hard parts); ``mish`` is
+    ``x * tanh(softplus(x))`` (YOLOv4 backbone, arXiv 2004.10934) with the
+    numerically-stable softplus ``log1p(exp(-|x|)) + max(x, 0)`` so large
+    positive logits don't overflow ``exp``."""
+    if activation == "leaky":
+        return jnp.where(y > 0, y, 0.1 * y)
+    if activation == "mish":
+        sp = jnp.log1p(jnp.exp(-jnp.abs(y))) + jnp.maximum(y, 0.0)
+        return y * jnp.tanh(sp)
+    if activation == "relu":
+        return jnp.maximum(y, 0.0)
+    return y  # linear
+
+
 def _needed_outputs(spec: ModelSpec) -> frozenset[int]:
     """Layer indices whose outputs are consumed by a later route/shortcut."""
     needed: set[int] = set()
@@ -73,10 +90,7 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, spec: ConvSpec,
         preferred_element_type=acc,
         precision=precision,
     )
-    y = y + b.astype(acc)
-    if spec.activation == "leaky":
-        # Darknet LeakyReLU slope is exactly 0.1 (SURVEY.md §7 hard parts).
-        y = jnp.where(y > 0, y, 0.1 * y)
+    y = apply_activation(y + b.astype(acc), spec.activation)
     return y.astype(compute_dtype) if compute_dtype != jnp.dtype(acc) else y
 
 
@@ -383,6 +397,12 @@ def build_forward(
                 x = _reorg(x, layer.stride)
             elif isinstance(layer, RouteSpec):
                 srcs = [cache[j] for j in layer.layers]
+                if layer.groups > 1:
+                    # CSP split route (YOLOv4-tiny): each source contributes
+                    # its group_id-th of `groups` equal channel slices.
+                    srcs = [t[..., (t.shape[-1] // layer.groups) * layer.group_id:
+                              (t.shape[-1] // layer.groups) * (layer.group_id + 1)]
+                            for t in srcs]
                 x = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
             elif isinstance(layer, ShortcutSpec):
                 x = cache[layer.index - 1] + cache[layer.from_layer]

@@ -19,6 +19,10 @@ from ..config import ModelSpec, build_spec, parse_cfg_text
 # Anchor tables in net-input pixels (SURVEY.md §5.6 / §3.3, [B]-tier).
 YOLOV3_ANCHORS = "10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326"
 YOLOV3_TINY_ANCHORS = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
+# YOLOv4 (arXiv 2004.10934) anchors; tiny reuses the v3-tiny table with
+# masks {3,4,5}/{1,2,3} (upstream yolov4-tiny.cfg leaves anchor 0 unused).
+YOLOV4_ANCHORS = "12,16, 19,36, 40,28, 36,75, 76,55, 72,146, 142,110, 192,243, 459,401"
+YOLOV4_TINY_ANCHORS = YOLOV3_TINY_ANCHORS
 # YOLOv2 [region] anchors are in grid-cell units (upstream yolov2.cfg, COCO).
 YOLOV2_ANCHORS = ("0.57273,0.677385, 1.87446,2.06253, 3.33843,5.47434, "
                   "7.88282,3.52778, 9.77052,9.16828")
@@ -61,8 +65,9 @@ def _residual(mid: int, out: int) -> list[str]:
     )
 
 
-def _yolo(mask: str, anchors: str, classes: int, num: int) -> list[str]:
-    return [
+def _yolo(mask: str, anchors: str, classes: int, num: int,
+          scale_x_y: float | None = None) -> list[str]:
+    lines = [
         "[yolo]",
         f"mask = {mask}",
         f"anchors = {anchors}",
@@ -72,8 +77,11 @@ def _yolo(mask: str, anchors: str, classes: int, num: int) -> list[str]:
         "ignore_thresh = .7",
         "truth_thresh = 1",
         "random=1",
-        "",
     ]
+    if scale_x_y is not None:
+        lines.append(f"scale_x_y = {scale_x_y}")
+    lines.append("")
+    return lines
 
 
 def yolov3_cfg(classes: int = 80, width: int = 416, height: int = 416,
@@ -263,12 +271,169 @@ def yolov2_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> s
     return "\n".join(lines)
 
 
+def yolov4_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """YOLOv4: CSPDarknet53 backbone (mish) + SPP + PAN neck (leaky).
+
+    Structure per the YOLOv4 paper (arXiv 2004.10934) / upstream yolov4.cfg.
+    Each CSP stage splits the downsampled map into two 1x1 branches, runs
+    the residual blocks on one, and concatenates ([route] cross-stage
+    partial connections); the neck is yolov3's SPP block plus a PAN
+    (top-down upsample fusion at 26²/52², then bottom-up stride-2 re-fusion
+    back to 26²/13²).  Heads carry the v4 grid-sensitivity factors
+    ``scale_x_y`` = 1.2 / 1.1 / 1.05 at strides 8/16/32.  Generator
+    arithmetic reproduces the upstream layer indices (asserted: CSP stage
+    ends 54/85, backbone end 104, last layer 161), so upstream
+    ``yolov4.weights`` map 1:1 once assets appear."""
+    filters_out = 3 * (5 + classes)
+    lines = _net(width, height)
+    layer = -1
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    def conv(f: int, size: int, stride: int = 1, act: str = "mish",
+             bn: bool = True) -> None:
+        emit(_conv(f, size, stride=stride, bn=bn, activation=act), 1)
+
+    conv(32, 3)  # stem
+    stage_ends: dict[int, int] = {}
+    for ch, n_blocks in ((64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)):
+        conv(ch, 3, stride=2)        # downsample
+        half = ch if n_blocks == 1 else ch // 2  # stage-1 branches stay full-width
+        conv(half, 1)                # cross-stage (right) branch
+        split_idx = layer
+        emit(["[route]", "layers = -2", ""], 1)
+        conv(half, 1)                # residual trunk (left) entry
+        for _ in range(n_blocks):
+            conv(ch // 2, 1)
+            conv(half, 3)
+            emit(["[shortcut]", "from=-3", "activation=linear", ""], 1)
+        conv(half, 1)                # close the trunk
+        emit([f"[route]", f"layers = -1, {split_idx}", ""], 1)  # CSP concat
+        conv(ch, 1)                  # transition
+        stage_ends[ch] = layer
+    assert stage_ends[256] == 54 and stage_ends[512] == 85, stage_ends
+    assert layer == 104, f"backbone should end at layer 104, got {layer}"
+
+    # --- neck: 3 convs + SPP + 3 convs (leaky from here on) ---
+    for f, s in ((512, 1), (1024, 3), (512, 1)):
+        conv(f, s, act="leaky")
+    emit(["[maxpool]", "size=5", "stride=1", ""], 1)
+    emit(["[route]", "layers = -2", ""], 1)
+    emit(["[maxpool]", "size=9", "stride=1", ""], 1)
+    emit(["[route]", "layers = -4", ""], 1)
+    emit(["[maxpool]", "size=13", "stride=1", ""], 1)
+    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)
+    for f, s in ((512, 1), (1024, 3), (512, 1)):
+        conv(f, s, act="leaky")
+    neck13 = layer
+    assert neck13 == 116
+
+    def five(pre: int) -> None:  # 1x1/3x3 alternating 5-conv block
+        for k in range(5):
+            conv(pre if k % 2 == 0 else pre * 2, 1 if k % 2 == 0 else 3,
+                 act="leaky")
+
+    # --- PAN top-down: 13² -> 26² -> 52² ---
+    conv(256, 1, act="leaky")
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = {stage_ends[512]}", ""], 1)
+    conv(256, 1, act="leaky")
+    emit(["[route]", "layers = -1, -3", ""], 1)
+    five(256)
+    neck26 = layer
+    assert neck26 == 126
+    conv(128, 1, act="leaky")
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = {stage_ends[256]}", ""], 1)
+    conv(128, 1, act="leaky")
+    emit(["[route]", "layers = -1, -3", ""], 1)
+    five(128)
+    neck52 = layer
+    assert neck52 == 136
+
+    # --- heads, PAN bottom-up ---
+    conv(256, 3, act="leaky")
+    conv(filters_out, 1, act="linear", bn=False)
+    emit(_yolo("0,1,2", YOLOV4_ANCHORS, classes, 9, scale_x_y=1.2), 1)  # stride 8
+    emit([f"[route]", f"layers = {neck52}", ""], 1)
+    conv(256, 3, stride=2, act="leaky")
+    emit([f"[route]", f"layers = -1, {neck26}", ""], 1)
+    five(256)
+    conv(512, 3, act="leaky")
+    conv(filters_out, 1, act="linear", bn=False)
+    emit(_yolo("3,4,5", YOLOV4_ANCHORS, classes, 9, scale_x_y=1.1), 1)  # stride 16
+    emit(["[route]", "layers = -4", ""], 1)
+    conv(512, 3, stride=2, act="leaky")
+    emit([f"[route]", f"layers = -1, {neck13}", ""], 1)
+    five(512)
+    conv(1024, 3, act="leaky")
+    conv(filters_out, 1, act="linear", bn=False)
+    emit(_yolo("6,7,8", YOLOV4_ANCHORS, classes, 9, scale_x_y=1.05), 1)  # stride 32
+    assert layer == 161, f"should end at layer 161, got {layer}"
+    return "\n".join(lines)
+
+
+def yolov4_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> str:
+    """YOLOv4-tiny: CSP split-route backbone + 2-scale head.
+
+    Structure per upstream yolov4-tiny.cfg: a stride-4 stem (two stride-2
+    3x3 convs), three CSP blocks — 3x3 conv, split ([route] groups=2
+    group_id=1), two 3x3 convs, partial concat, 1x1 transition, full concat,
+    2x2 maxpool — then a 13² head and one upsample-fused 26² head, both
+    with ``scale_x_y=1.05``.  Masks are upstream's {3,4,5}/{1,2,3} (anchor
+    0 unused).  Generator arithmetic reproduces the upstream layer indices
+    (asserted: route-26² target 23, last layer 37)."""
+    filters_out = 3 * (5 + classes)
+    lines = _net(width, height)
+    layer = -1
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    emit(_conv(32, 3, stride=2), 1)   # 0
+    emit(_conv(64, 3, stride=2), 1)   # 1
+    csp_ends = []
+    for ch in (64, 128, 256):
+        emit(_conv(ch, 3), 1)
+        block_in = layer
+        emit(["[route]", "layers = -1", "groups=2", "group_id=1", ""], 1)
+        emit(_conv(ch // 2, 3), 1)
+        emit(_conv(ch // 2, 3), 1)
+        emit(["[route]", "layers = -1, -2", ""], 1)
+        emit(_conv(ch, 1), 1)
+        csp_ends.append(layer)        # 1x1 transition (26² source for ch=256)
+        emit([f"[route]", f"layers = {block_in}, -1", ""], 1)
+        emit(["[maxpool]", "size=2", "stride=2", ""], 1)
+    assert csp_ends[-1] == 23, csp_ends
+    emit(_conv(512, 3), 1)            # 26
+    emit(_conv(256, 1), 1)            # 27
+    emit(_conv(512, 3), 1)            # 28
+    emit(_conv(filters_out, 1, bn=False, activation="linear"), 1)
+    emit(_yolo("3,4,5", YOLOV4_TINY_ANCHORS, classes, 6, scale_x_y=1.05), 1)  # 30
+    emit(["[route]", "layers = -4", ""], 1)
+    emit(_conv(128, 1), 1)
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = -1, {csp_ends[-1]}", ""], 1)
+    emit(_conv(256, 3), 1)
+    emit(_conv(filters_out, 1, bn=False, activation="linear"), 1)
+    emit(_yolo("1,2,3", YOLOV4_TINY_ANCHORS, classes, 6, scale_x_y=1.05), 1)  # 37
+    assert layer == 37, f"should end at layer 37, got {layer}"
+    return "\n".join(lines)
+
+
 _GENERATORS = {
     "yolov3": yolov3_cfg,
     "yolov3-spp": yolov3_spp_cfg,
     "yolov3-tiny": yolov3_tiny_cfg,
     "yolov2": yolov2_cfg,
     "yolov2-tiny": yolov2_tiny_cfg,
+    "yolov4": yolov4_cfg,
+    "yolov4-tiny": yolov4_tiny_cfg,
 }
 
 

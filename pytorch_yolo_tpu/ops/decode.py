@@ -31,15 +31,16 @@ from ..config import ModelSpec, RegionSpec, YoloSpec, head_strides
 
 
 def head_decode_args(head: "YoloSpec | RegionSpec", stride: int):
-    """(anchors in net-input px, class activation) for any detection head.
+    """(anchors in net-input px, class activation, scale_x_y) for any head.
 
     [yolo] anchors are already in pixels with sigmoid class scores; [region]
     anchors are in grid-cell units (scaled by the head stride here) with a
-    softmax over classes (raw logits when the cfg sets softmax=0)."""
+    softmax over classes (raw logits when the cfg sets softmax=0).
+    ``scale_x_y`` is the YOLOv4 grid-sensitivity factor (1.0 for v2/v3)."""
     if isinstance(head, RegionSpec):
         anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
-        return anchors, ("softmax" if head.softmax else "linear")
-    return head.anchors, "sigmoid"
+        return anchors, ("softmax" if head.softmax else "linear"), 1.0
+    return head.anchors, "sigmoid", head.scale_x_y
 
 
 def _grid_offsets(gy: int, gx: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -55,12 +56,15 @@ def decode_head(
     stride: int,
     num_classes: int,
     cls_act: str = "sigmoid",
+    scale_xy: float = 1.0,
 ) -> jnp.ndarray:
     """Decode one head's raw (N, Gy, Gx, A*(5+C)) map to (N, Gy*Gx*A, 5+C).
 
     Returns [bx, by, bw, bh, obj, p0..pC-1] with box centers/sizes in
     net-input pixels, fp32.  Gy != Gx supported (rectangular net input).
-    ``cls_act``: "sigmoid" ([yolo]), "softmax" or "linear" ([region])."""
+    ``cls_act``: "sigmoid" ([yolo]), "softmax" or "linear" ([region]).
+    ``scale_xy`` widens the center offsets (YOLOv4 grid sensitivity):
+    ``bx = (scale * sigmoid(tx) - 0.5 * (scale - 1) + cx) * stride``."""
     n, gy, gx, ch = raw.shape
     a = len(anchors)
     c = num_classes
@@ -69,8 +73,9 @@ def decode_head(
     x = raw.reshape(n, gy, gx, a, 5 + c).astype(jnp.float32)
     cx, cy = _grid_offsets(gy, gx)
 
-    bx = (lax.logistic(x[..., 0]) + cx[None, :, :, None]) * float(stride)
-    by = (lax.logistic(x[..., 1]) + cy[None, :, :, None]) * float(stride)
+    al, sh = float(scale_xy), 0.5 * (float(scale_xy) - 1.0)
+    bx = (lax.logistic(x[..., 0]) * al - sh + cx[None, :, :, None]) * float(stride)
+    by = (lax.logistic(x[..., 1]) * al - sh + cy[None, :, :, None]) * float(stride)
     pw = jnp.asarray([w for w, _ in anchors], dtype=jnp.float32)
     ph = jnp.asarray([h for _, h in anchors], dtype=jnp.float32)
     bw = pw[None, None, None, :] * jnp.exp(x[..., 2])
@@ -102,6 +107,7 @@ def decode_all(
     strides = head_strides(spec)
     outs = []
     for raw, head_spec, stride in zip(heads, spec.yolo_layers, strides):
-        anchors, cls_act = head_decode_args(head_spec, stride)
-        outs.append(decode_head(raw, anchors, stride, head_spec.classes, cls_act))
+        anchors, cls_act, sxy = head_decode_args(head_spec, stride)
+        outs.append(decode_head(raw, anchors, stride, head_spec.classes,
+                                cls_act, scale_xy=sxy))
     return jnp.concatenate(outs, axis=1)

@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
                          stride: int, num_classes: int, score_mode: str,
-                         cls_act: str = "sigmoid"):
+                         cls_act: str = "sigmoid", scale_xy: float = 1.0):
     """One block of rows (cell-major, anchor-minor) of one head.
 
     raw_ref:   (1, block_rows, 5+C) raw logits
@@ -67,8 +67,10 @@ def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
     pw, ph = geom[:, 2:3], geom[:, 3:4]
 
     s = float(stride)
-    bx = (jax.nn.sigmoid(raw[:, 0:1]) + cx) * s
-    by = (jax.nn.sigmoid(raw[:, 1:2]) + cy) * s
+    # scale_xy: YOLOv4 grid sensitivity (1.0 = plain sigmoid + cx, v2/v3)
+    al, sh = float(scale_xy), 0.5 * (float(scale_xy) - 1.0)
+    bx = (jax.nn.sigmoid(raw[:, 0:1]) * al - sh + cx) * s
+    by = (jax.nn.sigmoid(raw[:, 1:2]) * al - sh + cy) * s
     bw = pw * jnp.exp(raw[:, 2:3])
     bh = ph * jnp.exp(raw[:, 3:4])
     obj = jax.nn.sigmoid(raw[:, 4:5])
@@ -102,6 +104,7 @@ def decode_score_head(
     score_mode: str = "obj",
     interpret: bool | None = None,
     cls_act: str = "sigmoid",
+    scale_xy: float = 1.0,
 ) -> jnp.ndarray:
     """(N, Gy, Gx, A*(5+C)) raw head -> (N, Gy*Gx*A, 8) fused decode+score rows.
 
@@ -137,8 +140,8 @@ def decode_score_head(
     colid = np.arange(num_classes, dtype=np.float32).reshape(1, 1, num_classes)
 
     kernel = functools.partial(
-        _decode_score_kernel, stride=stride,
-        num_classes=num_classes, score_mode=score_mode, cls_act=cls_act)
+        _decode_score_kernel, stride=stride, num_classes=num_classes,
+        score_mode=score_mode, cls_act=cls_act, scale_xy=scale_xy)
     out = pl.pallas_call(
         kernel,
         grid=(n, padded // block_rows),
@@ -165,11 +168,13 @@ def decode_score_head_ref(
     num_classes: int,
     score_mode: str = "obj",
     cls_act: str = "sigmoid",
+    scale_xy: float = 1.0,
 ) -> jnp.ndarray:
     """jnp reference for :func:`decode_score_head` (same output contract)."""
     from .decode import decode_head
 
-    dec = decode_head(raw, anchors, stride, num_classes, cls_act)  # (N, R, 5+C)
+    dec = decode_head(raw, anchors, stride, num_classes, cls_act,
+                      scale_xy=scale_xy)  # (N, R, 5+C)
     cx, cy, w, h = dec[..., 0], dec[..., 1], dec[..., 2], dec[..., 3]
     obj = dec[..., 4]
     cls_prob = dec[..., 5:]
@@ -197,9 +202,9 @@ def decode_score_all(
     strides = head_strides(spec)
     outs = []
     for raw, h, s in zip(heads, spec.yolo_layers, strides):
-        anchors, cls_act = head_decode_args(h, s)
+        anchors, cls_act, sxy = head_decode_args(h, s)
         outs.append(fn(raw, anchors, s, h.classes,
-                       score_mode=score_mode, cls_act=cls_act))
+                       score_mode=score_mode, cls_act=cls_act, scale_xy=sxy))
     return jnp.concatenate(outs, axis=1)
 
 

@@ -275,16 +275,21 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
+    from ..models.darknet import apply_activation
+
     if out_scale is not None:
-        # Emit int8 at the consumer's calibrated input scale.  leaky
-        # commutes with the positive per-channel scale, so divide first and
-        # activate after — everything between the two MXU ops is one fused
-        # elementwise chain with no fp32 tensor materialized.
-        y = acc.astype(jnp.float32) * (sx * ws / out_scale) + b / out_scale
-        if spec.activation == "leaky":
-            y = jnp.where(y > 0, y, 0.1 * y)
+        # Emit int8 at the consumer's calibrated input scale.  leaky/relu
+        # are positively homogeneous, so divide first and activate after —
+        # everything between the two MXU ops is one fused register-resident
+        # elementwise chain with no fp32 tensor materialized.  mish is NOT
+        # scale-commuting: activate at the true fp scale, then requantize
+        # (still a fused elementwise chain, one extra vector multiply).
+        if spec.activation in ("leaky", "relu", "linear"):
+            y = acc.astype(jnp.float32) * (sx * ws / out_scale) + b / out_scale
+            y = apply_activation(y, spec.activation)
+        else:
+            y = apply_activation(acc.astype(jnp.float32) * (sx * ws) + b,
+                                 spec.activation) / out_scale
         return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     y = acc.astype(jnp.float32) * (sx * ws) + b
-    if spec.activation == "leaky":
-        y = jnp.where(y > 0, y, 0.1 * y)
-    return y
+    return apply_activation(y, spec.activation)

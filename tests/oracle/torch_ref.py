@@ -138,6 +138,10 @@ def forward_oracle(
                 )
             if layer.activation == "leaky":
                 x = F.leaky_relu(x, 0.1)
+            elif layer.activation == "mish":
+                x = x * torch.tanh(F.softplus(x))
+            elif layer.activation == "relu":
+                x = F.relu(x)
         elif isinstance(layer, MaxPoolSpec):
             total = layer.size - 1
             lo, hi = total // 2, total - total // 2
@@ -147,6 +151,8 @@ def forward_oracle(
             x = F.interpolate(x, scale_factor=layer.stride, mode="nearest")
         elif isinstance(layer, RouteSpec):
             srcs = [outputs[j] for j in layer.layers]
+            if layer.groups > 1:  # CSP split route (YOLOv4-tiny)
+                srcs = [t.chunk(layer.groups, dim=1)[layer.group_id] for t in srcs]
             x = srcs[0] if len(srcs) == 1 else torch.cat(srcs, dim=1)
         elif isinstance(layer, ShortcutSpec):
             x = outputs[layer.index - 1] + outputs[layer.from_layer]
@@ -171,6 +177,7 @@ def decode_oracle(
     stride: int,
     num_classes: int,
     cls_act: str = "sigmoid",
+    scale_xy: float = 1.0,
 ) -> np.ndarray:
     """NCHW raw map -> (N, Gy*Gx*A, 5+C), the reference view/transpose order."""
     n, ch, gy, gx = raw_nchw.shape
@@ -187,7 +194,11 @@ def decode_oracle(
     offs = np.repeat(offs, a, axis=0)[None]  # cell-major, anchor-minor
 
     out = p.clone()
-    out[..., 0:2] = (torch.sigmoid(p[..., 0:2]) + torch.from_numpy(offs)) * stride
+    # YOLOv4 grid sensitivity: bx = (a*sigma(tx) - (a-1)/2 + cx) * stride
+    out[..., 0:2] = (
+        torch.sigmoid(p[..., 0:2]) * scale_xy - 0.5 * (scale_xy - 1.0)
+        + torch.from_numpy(offs)
+    ) * stride
     anc = torch.tensor(anchors, dtype=torch.float32)  # (A, 2)
     anc_tiled = anc.repeat(gy * gx, 1)[None]  # (1, Gy*Gx*A, 2)
     out[..., 2:4] = anc_tiled * torch.exp(p[..., 2:4])
@@ -206,10 +217,11 @@ def decode_all_oracle(spec: ModelSpec, heads_nchw: list[np.ndarray], input_size:
     for raw, head, stride in zip(heads_nchw, spec.yolo_layers, head_strides(spec)):
         if isinstance(head, RegionSpec):  # grid-unit anchors, softmax classes
             anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
-            cls_act = "softmax" if head.softmax else "linear"
+            cls_act, sxy = ("softmax" if head.softmax else "linear"), 1.0
         else:
-            anchors, cls_act = head.anchors, "sigmoid"
-        outs.append(decode_oracle(raw, anchors, stride, head.classes, cls_act))
+            anchors, cls_act, sxy = head.anchors, "sigmoid", head.scale_x_y
+        outs.append(decode_oracle(raw, anchors, stride, head.classes, cls_act,
+                                  scale_xy=sxy))
     return np.concatenate(outs, axis=1)
 
 

@@ -226,3 +226,25 @@ def test_yolov2_end_to_end():
     n_oracle = int((dec[0][:, 4] > 0.99).sum())
     n_ours = int(_np.asarray(res.valid).sum())
     assert abs(n_ours - min(n_oracle, 300)) <= 2, (n_ours, n_oracle)
+
+
+def test_yolov4_tiny_end_to_end():
+    """CSP split routes + scale_x_y heads through the full jitted pipeline
+    (Detector.load -> letterbox -> forward -> fused decode -> NMS -> unmap),
+    plus the reduced-precision serving modes the v4 family newly exercises
+    (mish in bf16; W8A8 with the mish requant epilogue)."""
+    det = pyt.Detector.load("yolov4-tiny")
+    img = _image(13)
+    r = det.detect(img, conf=0.5)
+    assert (r.boxes >= 0).all()
+    assert (r.boxes[:, [0, 2]] <= 640).all() and (r.boxes[:, [1, 3]] <= 480).all()
+    assert (r.cls_id < 80).all()
+
+    spec = model_spec("yolov4-tiny")
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=0))
+    for kwargs in ({"compute_dtype": "bfloat16"}, {"quant": "w8a8"}):
+        d2 = pyt.Detector(spec, params, **kwargs)
+        r2 = d2.detect(img, conf=0.5)
+        assert (r2.cls_id < 80).all()
+        assert np.isfinite(r2.boxes).all()

@@ -221,3 +221,92 @@ def test_reorg_region_validation():
     with pytest.raises(ConfigError):  # channel mismatch with the conv
         build_spec(parse_cfg_text(
             pre + "[region]\nanchors=1,1, 2,2\nnum=2\nclasses=1\n"))
+
+
+def test_yolov4_spec_structure():
+    """CSP backbone wiring: upstream yolov4.cfg layer indices fall out of the
+    generator arithmetic (stage ends 54/85, backbone end 104, 162 layers)."""
+    spec = model_spec("yolov4")
+    assert len(spec.layers) == 162
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    assert len(convs) == 110  # upstream yolov4 conv count
+    assert {c.activation for c in convs} == {"mish", "leaky", "linear"}
+    # backbone is mish, neck/head leaky, outputs linear
+    assert all(c.activation == "mish" for c in convs if c.index <= 104)
+    shortcuts = [l for l in spec.layers if isinstance(l, ShortcutSpec)]
+    assert len(shortcuts) == 23  # 1+2+8+8+4 CSP residual units
+    assert head_strides(spec) == (8, 16, 32)
+    heads = spec.yolo_layers
+    assert [h.scale_x_y for h in heads] == [1.2, 1.1, 1.05]
+    assert heads[0].anchors == ((12, 16), (19, 36), (40, 28))
+    assert heads[2].anchors == ((142, 110), (192, 243), (459, 401))
+    assert spec.num_detections(416) == 10647
+    assert spec.num_detections(608) == 22743
+    # SPP concat present (2048ch), PAN fusion routes hit stage ends 54/85
+    routes = [l for l in spec.layers if isinstance(l, RouteSpec)]
+    assert any(spec.out_channels[r.index] == 2048 for r in routes)
+    singles = [r.layers[0] for r in routes if len(r.layers) == 1]
+    assert 85 in singles and 54 in singles
+
+
+def test_yolov4_tiny_spec_structure():
+    spec = model_spec("yolov4-tiny")
+    assert len(spec.layers) == 38
+    split_routes = [l for l in spec.layers
+                    if isinstance(l, RouteSpec) and l.groups > 1]
+    assert len(split_routes) == 3
+    for r in split_routes:
+        assert r.groups == 2 and r.group_id == 1
+        # split halves the source's channels
+        assert spec.out_channels[r.index] == spec.out_channels[r.layers[0]] // 2
+    assert head_strides(spec) == (32, 16)
+    assert [h.scale_x_y for h in spec.yolo_layers] == [1.05, 1.05]
+    # upstream masks {3,4,5}/{1,2,3} on the v3-tiny anchor table
+    assert spec.yolo_layers[0].mask == (3, 4, 5)
+    assert spec.yolo_layers[1].mask == (1, 2, 3)
+    assert spec.yolo_layers[1].anchors == ((23, 27), (37, 58), (81, 82))
+    assert spec.num_detections(416) == 2535
+
+
+def test_route_groups_validation():
+    base = """
+    [net]
+    width=32
+    height=32
+    [convolutional]
+    filters=8
+    size=3
+    stride=1
+    pad=1
+    activation=leaky
+    [route]
+    layers=-1
+    {extra}
+    """
+    # group_id out of range
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text(base.format(extra="groups=2\ngroup_id=2")))
+    # channels not divisible by groups
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text(base.format(extra="groups=3\ngroup_id=0")))
+    # valid split halves the channels
+    spec = build_spec(parse_cfg_text(base.format(extra="groups=2\ngroup_id=1")))
+    assert spec.out_channels[1] == 4
+
+
+def test_mish_activation_accepted_unknown_rejected():
+    txt = """
+    [net]
+    width=32
+    height=32
+    [convolutional]
+    filters=8
+    size=3
+    stride=1
+    pad=1
+    activation={act}
+    """
+    spec = build_spec(parse_cfg_text(txt.format(act="mish")))
+    assert spec.layers[0].activation == "mish"
+    with pytest.raises(ConfigError):
+        build_spec(parse_cfg_text(txt.format(act="swish")))

@@ -88,3 +88,45 @@ def test_region_decode_parity_and_semantics():
     for a_i, (aw, ah) in enumerate(head.anchors):
         np.testing.assert_allclose(d[0, 0, a_i, 2], aw * 32, rtol=1e-6)
         np.testing.assert_allclose(d[0, 0, a_i, 3], ah * 32, rtol=1e-6)
+
+
+def test_scale_xy_decode_matches_oracle():
+    """YOLOv4 grid sensitivity: (a*sigma - (a-1)/2 + c) * stride vs oracle."""
+    from pytorch_yolo_tpu.ops.decode import decode_head
+    from tests.oracle.torch_ref import decode_oracle
+
+    rng = np.random.default_rng(11)
+    anchors = ((23, 27), (37, 58), (81, 82))
+    raw = rng.normal(0, 2, size=(2, 9, 9, 255)).astype(np.float32)
+    for sxy in (1.0, 1.05, 1.2):
+        ours = np.asarray(decode_head(jnp.asarray(raw), anchors, 16, 80,
+                                      scale_xy=sxy))
+        want = decode_oracle(raw.transpose(0, 3, 1, 2), anchors, 16, 80,
+                             scale_xy=sxy)
+        np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-5)
+    # scale widens the center range beyond the cell: offsets may go negative
+    a = 1.2
+    lo = np.asarray(decode_head(jnp.asarray(np.full_like(raw, -50.0)),
+                                anchors, 16, 80, scale_xy=a))
+    assert lo[0, 0, 0] == pytest.approx(-0.5 * (a - 1) * 16, abs=1e-4)
+
+
+def test_decode_all_uses_head_scale_xy():
+    """decode_all threads YoloSpec.scale_x_y (yolov4-tiny heads: 1.05)."""
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.models.darknet import head_shapes
+    from pytorch_yolo_tpu.ops.decode import decode_all, decode_head
+
+    spec = model_spec("yolov4-tiny")
+    rng = np.random.default_rng(3)
+    heads = tuple(jnp.asarray(rng.normal(0, 1, size=s).astype(np.float32))
+                  for s in head_shapes(spec, 416))
+    got = np.asarray(decode_all(heads, spec, 416))
+    h0 = spec.yolo_layers[0]
+    manual = np.asarray(decode_head(heads[0], h0.anchors, 32, 80,
+                                    scale_xy=1.05))
+    np.testing.assert_allclose(got[:, : manual.shape[1]], manual,
+                               rtol=1e-6, atol=1e-6)
+    # and it is NOT the scale_xy=1.0 decode (guard against silent drops)
+    plain = np.asarray(decode_head(heads[0], h0.anchors, 32, 80, scale_xy=1.0))
+    assert np.abs(plain[..., :2] - manual[..., :2]).max() > 0.1

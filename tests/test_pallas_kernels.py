@@ -124,7 +124,7 @@ def test_decode_score_region_kernel_matches_ref():
 
     spec = model_spec("yolov2-tiny")
     head, stride = spec.yolo_layers[0], head_strides(spec)[0]
-    anchors, cls_act = head_decode_args(head, stride)
+    anchors, cls_act, _ = head_decode_args(head, stride)
     assert cls_act == "softmax" and anchors[0] == (0.57273 * 32, 0.677385 * 32)
     rng = np.random.default_rng(7)
     raw = jnp.asarray(rng.normal(0, 2, size=(2, 13, 13, 425)).astype(np.float32))
@@ -136,3 +136,18 @@ def test_decode_score_region_kernel_matches_ref():
     both = [np.asarray(decode_score_all((raw,), spec, 416, use_pallas=p))
             for p in (True, False)]
     np.testing.assert_allclose(both[0], both[1], rtol=1e-5, atol=1e-6)
+
+
+def test_decode_score_scale_xy_kernel_matches_ref():
+    """scale_x_y threads through the fused Pallas decode (interpret mode)."""
+    rng = np.random.default_rng(21)
+    raw = jnp.asarray(rng.normal(0, 2, size=(2, 13, 13, 255)).astype(np.float32))
+    for sxy in (1.05, 1.2):
+        ours = np.asarray(decode_score_head(raw, ANCHORS, 32, 80, scale_xy=sxy))
+        ref = np.asarray(decode_score_head_ref(raw, ANCHORS, 32, 80, scale_xy=sxy))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    # differs from the unscaled decode in the box columns only
+    base = np.asarray(decode_score_head_ref(raw, ANCHORS, 32, 80))
+    scaled = np.asarray(decode_score_head_ref(raw, ANCHORS, 32, 80, scale_xy=1.2))
+    assert np.abs(base[..., :4] - scaled[..., :4]).max() > 0.05
+    np.testing.assert_array_equal(base[..., 4:], scaled[..., 4:])

@@ -461,3 +461,51 @@ def test_detector_int8_stem_s2d_parity(monkeypatch):
     if len(a) and len(b):
         d = np.abs(a.boxes[:, None, :] - b.boxes[None, :, :]).max(-1).min(1)
         assert (d < 4.0).mean() > 0.9
+
+
+def test_quantized_conv_mish_epilogue():
+    """mish does NOT commute with positive scales (unlike leaky/relu), so the
+    int8-resident epilogue must activate at the true fp scale and requantize
+    after.  Check both epilogue variants against an explicit fp reference."""
+    from pytorch_yolo_tpu.models.darknet import apply_activation
+
+    rng = np.random.default_rng(31)
+    spec = ConvSpec(index=0, in_channels=8, filters=16, size=3, stride=1,
+                    pad=1, batch_normalize=True, activation="mish")
+    w = rng.normal(0, 0.3, (3, 3, 8, 16)).astype(np.float32)
+    b = rng.normal(0, 0.1, (16,)).astype(np.float32)
+    qp = quantize_params(spec_from_single(spec), {0: {"w": w, "b": b}})[0]
+    x = rng.normal(0, 1.5, (2, 9, 9, 8)).astype(np.float32)
+    sx = jnp.float32(np.abs(x).max() / 127.0)
+    xq = jnp.clip(jnp.round(jnp.asarray(x) / sx), -127, 127).astype(jnp.int8)
+
+    # fp-out variant: int32 acc -> rescale+bias -> mish
+    got_fp = np.asarray(quantized_conv(
+        xq, jnp.asarray(qp["wq"]), jnp.asarray(qp["ws"]), jnp.asarray(b),
+        spec, sx=sx))
+    import jax.lax as lax
+    deq = np.asarray(xq, np.float32) * float(sx)
+    ref = lax.conv_general_dilated(
+        jnp.asarray(deq), jnp.asarray(qp["wq"], jnp.float32)
+        * jnp.asarray(qp["ws"]), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(apply_activation(ref + b, "mish"))
+    np.testing.assert_allclose(got_fp, ref, rtol=1e-4, atol=1e-4)
+
+    # int8-resident variant: requantize AFTER mish (epilogue order matters —
+    # dividing before mish would change the value, unlike leaky)
+    out_scale = jnp.float32(np.abs(ref).max() / 127.0)
+    got_q = np.asarray(quantized_conv(
+        xq, jnp.asarray(qp["wq"]), jnp.asarray(qp["ws"]), jnp.asarray(b),
+        spec, sx=sx, out_scale=out_scale))
+    want_q = np.clip(np.round(ref / float(out_scale)), -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(got_q, want_q)
+
+
+def spec_from_single(conv: ConvSpec):
+    """Minimal ModelSpec-shaped stand-in for quantize_params (needs .layers
+    and head/skip queries keyed by index)."""
+    from pytorch_yolo_tpu.config import ModelSpec, NetInfo
+
+    return ModelSpec(net=NetInfo(width=32, height=32),
+                     layers=(conv,), out_channels=(conv.filters,))

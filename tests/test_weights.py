@@ -28,6 +28,11 @@ from tests.oracle.torch_ref import read_weights_oracle
     # yolov3.weights 248,007,048 B, tiny 35,434,956 B; minus 20 B header, /4.
     ("yolov3", 62001757),
     ("yolov3-tiny", 8858734),
+    # yolov4 count reproduces the public yolov4.weights byte size exactly
+    # (257,717,640 = 20 + 4 * 64,429,405) — independent confirmation that
+    # the CSP+SPP+PAN generator matches the upstream topology.
+    ("yolov4", 64429405),
+    ("yolov4-tiny", 6062814),
 ])
 def test_param_count_matches_known_file_sizes(name, expect):
     assert param_count(model_spec(name)) == expect
@@ -140,3 +145,32 @@ def test_weights_fuzz_random_bytes():
         blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
         with pytest.raises(WeightsError):
             read_weights_bytes(spec, blob)
+
+
+def test_yolov4_tiny_round_trip_and_native_parity(tmp_path):
+    """The v4 family (mish convs, CSP split routes) flows through the full
+    weights path: write -> python read -> BN fold, and the native C++ loader
+    agrees bit-exactly (its stream walk only sees ConvSpecs, but the v4-tiny
+    spec's conv sequence interleaves with groups-routes — a new layout)."""
+    from pytorch_yolo_tpu.weights import load_weights, load_weights_native
+
+    spec = model_spec("yolov4-tiny")
+    raw = random_raw_params(spec, seed=23)
+    path = str(tmp_path / "v4t.weights")
+    write_weights_file(spec, raw, path, seen=99)
+    folded = load_weights(spec, path, native=False)
+    native = load_weights_native(spec, path)
+    if native is not None:  # .so present (built in CI; probe may skip)
+        assert set(native) == set(folded)
+        for i in folded:
+            for k in folded[i]:
+                np.testing.assert_allclose(native[i][k], folded[i][k],
+                                           rtol=0, atol=1e-6)
+    # folded params drive the forward (smoke: one small batch, finite heads)
+    import jax.numpy as jnp
+    from pytorch_yolo_tpu.models.darknet import build_forward
+
+    jp = {i: {k: jnp.asarray(v) for k, v in folded[i].items()} for i in folded}
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    heads = build_forward(spec)(jp, x)
+    assert len(heads) == 2 and all(bool(jnp.isfinite(h).all()) for h in heads)
