@@ -210,3 +210,22 @@ def test_int8sb_serving_mode_on_mesh(mesh):
     stats = detection_drift(r_single, r_mesh)
     assert stats.set_agreement >= 0.85, stats.row()
     assert stats.box_p99_px <= 2.0, stats.row()
+
+
+def test_yolov4_tiny_on_mesh_matches_single(mesh):
+    """The v4 family's new graph shapes (CSP split routes slice the channel
+    axis; batch stays the only sharded axis) are GSPMD-clean: mesh results
+    == single-device results numerically."""
+    det_single = pyt.Detector.load("yolov4-tiny")
+    det_mesh = pyt.Detector(det_single.spec,
+                            jax.tree_util.tree_map(np.asarray, det_single.params),
+                            mesh=mesh)
+    imgs = np.random.default_rng(4).integers(
+        0, 256, size=(8, 96, 128, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, size=96, conf=0.3)
+    r_mesh = det_mesh.detect_batch(imgs, size=96, conf=0.3)
+    assert len(r_single) == len(r_mesh) == 8
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(a.cls_id, b.cls_id)
