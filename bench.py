@@ -234,7 +234,8 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
 
 
 def measure_compute(model: str, size: int, batch: int, iters: int,
-                    compute_dtype: str, precision: str) -> float:
+                    compute_dtype: str, precision: str,
+                    max_det: int = 300) -> float:
     """On-chip pipeline throughput with device-resident input (no H2D).
 
     Isolates what the chip can actually do (letterbox+forward+decode+NMS)
@@ -250,7 +251,7 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,
-                       conf=0.6, iou=0.45, max_det=300, bgr=True)
+                       conf=0.6, iou=0.45, max_det=max_det, bgr=True)
     fn = det._pipeline(key)
     np.asarray(fn(det.params, dev_imgs).boxes)  # compile + warm
     t0 = time.perf_counter()
@@ -260,7 +261,7 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     log(f"{model}@{size} ON-CHIP (device-resident input) batch={batch} "
-        f"dtype={dtype_label}/{precision}: "
+        f"dtype={dtype_label}/{precision} max_det={max_det}: "
         f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
     return ips
 
