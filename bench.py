@@ -420,7 +420,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3")
     ap.add_argument("--size", type=int, default=416)
-    ap.add_argument("--batch", type=int, default=64)
+    # 128 = the measured b-knee for yolov3@416 bf16 (frontier_r3: 1331 b64
+    # -> 1397 b128, then DROPS to 1247 b192 / 1277 b256 — PERF.md r3 s3).
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")

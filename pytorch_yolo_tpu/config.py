@@ -48,7 +48,7 @@ class NetInfo:
     channels: int = 3
 
 
-CONV_ACTIVATIONS = ("leaky", "linear", "mish", "relu")
+CONV_ACTIVATIONS = ("leaky", "linear", "mish", "relu", "logistic")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,8 +56,10 @@ class ConvSpec:
     """``[convolutional]``: conv (+BN) (+activation).
 
     Activations: ``leaky`` (slope 0.1) / ``linear`` (YOLOv2/v3 family),
-    ``mish`` (x * tanh(softplus(x)), the YOLOv4 CSP backbone activation)
-    and ``relu`` (appears in some Darknet classifier cfgs)."""
+    ``mish`` (x * tanh(softplus(x)), the YOLOv4 CSP backbone activation),
+    ``relu`` (appears in some Darknet classifier cfgs) and ``logistic``
+    (element-wise sigmoid — Scaled-YOLOv4/yolov4-csp head convs, paired
+    with ``[yolo] new_coords=1``)."""
 
     index: int
     in_channels: int
@@ -163,7 +165,13 @@ class YoloSpec:
     ``scale_x_y`` (YOLOv4, "grid sensitivity" — arXiv 2004.10934 §3.3)
     widens the sigmoid center offsets:
     ``bx = (scale * sigmoid(tx) - 0.5 * (scale - 1) + cx) * stride``;
-    the YOLOv3 family leaves it at 1.0 (plain ``sigmoid(tx) + cx``)."""
+    the YOLOv3 family leaves it at 1.0 (plain ``sigmoid(tx) + cx``).
+
+    ``new_coords`` (Scaled-YOLOv4 / yolov4-csp dialect, arXiv 2011.08036):
+    the preceding conv carries ``activation=logistic`` over ALL channels,
+    so the head receives already-activated values and decodes WITHOUT its
+    own sigmoid/exp: ``bx = (tx * scale - 0.5 * (scale - 1) + cx) * stride``,
+    ``bw = (2 * tw)^2 * pw``, obj/class scores pass through."""
 
     index: int
     anchors: tuple[tuple[float, float], ...]
@@ -171,6 +179,7 @@ class YoloSpec:
     all_anchors: tuple[tuple[float, float], ...]
     mask: tuple[int, ...]
     scale_x_y: float = 1.0
+    new_coords: bool = False
 
 
 LayerSpec = (ConvSpec | MaxPoolSpec | UpsampleSpec | RouteSpec | ShortcutSpec
@@ -385,6 +394,7 @@ def build_spec(blocks: Sequence[Mapping[str, str]]) -> ModelSpec:
                 all_anchors=pairs,
                 mask=mask,
                 scale_x_y=float(block.get("scale_x_y", 1.0)),
+                new_coords=bool(int(block.get("new_coords", 0))),
             )
             ch = prev_ch
         else:

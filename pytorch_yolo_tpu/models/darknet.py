@@ -60,6 +60,10 @@ def apply_activation(y: jnp.ndarray, activation: str) -> jnp.ndarray:
         return y * jnp.tanh(sp)
     if activation == "relu":
         return jnp.maximum(y, 0.0)
+    if activation == "logistic":
+        # Scaled-YOLOv4 head convs: sigmoid over ALL channels (pairs with
+        # [yolo] new_coords=1, which then decodes without its own sigmoid).
+        return jax.nn.sigmoid(y)
     return y  # linear
 
 

@@ -31,16 +31,21 @@ from ..config import ModelSpec, RegionSpec, YoloSpec, head_strides
 
 
 def head_decode_args(head: "YoloSpec | RegionSpec", stride: int):
-    """(anchors in net-input px, class activation, scale_x_y) for any head.
+    """(anchors in net-input px, class activation, scale_x_y, new_coords).
 
     [yolo] anchors are already in pixels with sigmoid class scores; [region]
     anchors are in grid-cell units (scaled by the head stride here) with a
     softmax over classes (raw logits when the cfg sets softmax=0).
-    ``scale_x_y`` is the YOLOv4 grid-sensitivity factor (1.0 for v2/v3)."""
+    ``scale_x_y`` is the YOLOv4 grid-sensitivity factor (1.0 for v2/v3).
+    ``new_coords`` ([yolo] only — Scaled-YOLOv4) selects the pre-activated
+    decode; class scores then pass through ("linear": the preceding
+    logistic conv already applied the sigmoid)."""
     if isinstance(head, RegionSpec):
         anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
-        return anchors, ("softmax" if head.softmax else "linear"), 1.0
-    return head.anchors, "sigmoid", head.scale_x_y
+        return anchors, ("softmax" if head.softmax else "linear"), 1.0, False
+    if head.new_coords:
+        return head.anchors, "linear", head.scale_x_y, True
+    return head.anchors, "sigmoid", head.scale_x_y, False
 
 
 def _grid_offsets(gy: int, gx: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -57,6 +62,7 @@ def decode_head(
     num_classes: int,
     cls_act: str = "sigmoid",
     scale_xy: float = 1.0,
+    new_coords: bool = False,
 ) -> jnp.ndarray:
     """Decode one head's raw (N, Gy, Gx, A*(5+C)) map to (N, Gy*Gx*A, 5+C).
 
@@ -64,7 +70,12 @@ def decode_head(
     net-input pixels, fp32.  Gy != Gx supported (rectangular net input).
     ``cls_act``: "sigmoid" ([yolo]), "softmax" or "linear" ([region]).
     ``scale_xy`` widens the center offsets (YOLOv4 grid sensitivity):
-    ``bx = (scale * sigmoid(tx) - 0.5 * (scale - 1) + cx) * stride``."""
+    ``bx = (scale * sigmoid(tx) - 0.5 * (scale - 1) + cx) * stride``.
+    ``new_coords`` (Scaled-YOLOv4): inputs were already sigmoid-activated
+    by the head conv (activation=logistic), so decode drops its own
+    sigmoid/exp — ``bx = (tx * scale - 0.5 * (scale - 1) + cx) * stride``,
+    ``bw = (2 * tw)^2 * pw``, obj passes through (callers pair this with
+    ``cls_act="linear"``)."""
     n, gy, gx, ch = raw.shape
     a = len(anchors)
     c = num_classes
@@ -74,13 +85,20 @@ def decode_head(
     cx, cy = _grid_offsets(gy, gx)
 
     al, sh = float(scale_xy), 0.5 * (float(scale_xy) - 1.0)
-    bx = (lax.logistic(x[..., 0]) * al - sh + cx[None, :, :, None]) * float(stride)
-    by = (lax.logistic(x[..., 1]) * al - sh + cy[None, :, :, None]) * float(stride)
+    txy0 = x[..., 0] if new_coords else lax.logistic(x[..., 0])
+    txy1 = x[..., 1] if new_coords else lax.logistic(x[..., 1])
+    bx = (txy0 * al - sh + cx[None, :, :, None]) * float(stride)
+    by = (txy1 * al - sh + cy[None, :, :, None]) * float(stride)
     pw = jnp.asarray([w for w, _ in anchors], dtype=jnp.float32)
     ph = jnp.asarray([h for _, h in anchors], dtype=jnp.float32)
-    bw = pw[None, None, None, :] * jnp.exp(x[..., 2])
-    bh = ph[None, None, None, :] * jnp.exp(x[..., 3])
-    obj = lax.logistic(x[..., 4])
+    if new_coords:
+        bw = pw[None, None, None, :] * jnp.square(2.0 * x[..., 2])
+        bh = ph[None, None, None, :] * jnp.square(2.0 * x[..., 3])
+        obj = x[..., 4]
+    else:
+        bw = pw[None, None, None, :] * jnp.exp(x[..., 2])
+        bh = ph[None, None, None, :] * jnp.exp(x[..., 3])
+        obj = lax.logistic(x[..., 4])
     if cls_act == "softmax":
         cls = jax.nn.softmax(x[..., 5:], axis=-1)
     elif cls_act == "linear":
@@ -107,7 +125,7 @@ def decode_all(
     strides = head_strides(spec)
     outs = []
     for raw, head_spec, stride in zip(heads, spec.yolo_layers, strides):
-        anchors, cls_act, sxy = head_decode_args(head_spec, stride)
+        anchors, cls_act, sxy, nc = head_decode_args(head_spec, stride)
         outs.append(decode_head(raw, anchors, stride, head_spec.classes,
-                                cls_act, scale_xy=sxy))
+                                cls_act, scale_xy=sxy, new_coords=nc))
     return jnp.concatenate(outs, axis=1)

@@ -50,7 +50,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
                          stride: int, num_classes: int, score_mode: str,
-                         cls_act: str = "sigmoid", scale_xy: float = 1.0):
+                         cls_act: str = "sigmoid", scale_xy: float = 1.0,
+                         new_coords: bool = False):
     """One block of rows (cell-major, anchor-minor) of one head.
 
     raw_ref:   (1, block_rows, 5+C) raw logits
@@ -67,13 +68,23 @@ def _decode_score_kernel(raw_ref, geom_ref, colid_ref, out_ref, *,
     pw, ph = geom[:, 2:3], geom[:, 3:4]
 
     s = float(stride)
-    # scale_xy: YOLOv4 grid sensitivity (1.0 = plain sigmoid + cx, v2/v3)
+    # scale_xy: YOLOv4 grid sensitivity (1.0 = plain sigmoid + cx, v2/v3).
+    # new_coords (Scaled-YOLOv4): the head conv already applied logistic to
+    # every channel, so the kernel decodes pre-activated values — static
+    # trace-time branch, no in-kernel control flow.
     al, sh = float(scale_xy), 0.5 * (float(scale_xy) - 1.0)
-    bx = (jax.nn.sigmoid(raw[:, 0:1]) * al - sh + cx) * s
-    by = (jax.nn.sigmoid(raw[:, 1:2]) * al - sh + cy) * s
-    bw = pw * jnp.exp(raw[:, 2:3])
-    bh = ph * jnp.exp(raw[:, 3:4])
-    obj = jax.nn.sigmoid(raw[:, 4:5])
+    if new_coords:
+        bx = (raw[:, 0:1] * al - sh + cx) * s
+        by = (raw[:, 1:2] * al - sh + cy) * s
+        bw = pw * jnp.square(2.0 * raw[:, 2:3])
+        bh = ph * jnp.square(2.0 * raw[:, 3:4])
+        obj = raw[:, 4:5]
+    else:
+        bx = (jax.nn.sigmoid(raw[:, 0:1]) * al - sh + cx) * s
+        by = (jax.nn.sigmoid(raw[:, 1:2]) * al - sh + cy) * s
+        bw = pw * jnp.exp(raw[:, 2:3])
+        bh = ph * jnp.exp(raw[:, 3:4])
+        obj = jax.nn.sigmoid(raw[:, 4:5])
     cls_logit = raw[:, 5 : 5 + num_classes]
     cls_best = jnp.max(cls_logit, axis=1, keepdims=True)
     # argmax without int vectors: first column achieving the max
@@ -105,6 +116,7 @@ def decode_score_head(
     interpret: bool | None = None,
     cls_act: str = "sigmoid",
     scale_xy: float = 1.0,
+    new_coords: bool = False,
 ) -> jnp.ndarray:
     """(N, Gy, Gx, A*(5+C)) raw head -> (N, Gy*Gx*A, 8) fused decode+score rows.
 
@@ -141,7 +153,8 @@ def decode_score_head(
 
     kernel = functools.partial(
         _decode_score_kernel, stride=stride, num_classes=num_classes,
-        score_mode=score_mode, cls_act=cls_act, scale_xy=scale_xy)
+        score_mode=score_mode, cls_act=cls_act, scale_xy=scale_xy,
+        new_coords=new_coords)
     out = pl.pallas_call(
         kernel,
         grid=(n, padded // block_rows),
@@ -169,12 +182,13 @@ def decode_score_head_ref(
     score_mode: str = "obj",
     cls_act: str = "sigmoid",
     scale_xy: float = 1.0,
+    new_coords: bool = False,
 ) -> jnp.ndarray:
     """jnp reference for :func:`decode_score_head` (same output contract)."""
     from .decode import decode_head
 
     dec = decode_head(raw, anchors, stride, num_classes, cls_act,
-                      scale_xy=scale_xy)  # (N, R, 5+C)
+                      scale_xy=scale_xy, new_coords=new_coords)  # (N, R, 5+C)
     cx, cy, w, h = dec[..., 0], dec[..., 1], dec[..., 2], dec[..., 3]
     obj = dec[..., 4]
     cls_prob = dec[..., 5:]
@@ -202,9 +216,10 @@ def decode_score_all(
     strides = head_strides(spec)
     outs = []
     for raw, h, s in zip(heads, spec.yolo_layers, strides):
-        anchors, cls_act, sxy = head_decode_args(h, s)
+        anchors, cls_act, sxy, nc = head_decode_args(h, s)
         outs.append(fn(raw, anchors, s, h.classes,
-                       score_mode=score_mode, cls_act=cls_act, scale_xy=sxy))
+                       score_mode=score_mode, cls_act=cls_act, scale_xy=sxy,
+                       new_coords=nc))
     return jnp.concatenate(outs, axis=1)
 
 

@@ -142,6 +142,8 @@ def forward_oracle(
                 x = x * torch.tanh(F.softplus(x))
             elif layer.activation == "relu":
                 x = F.relu(x)
+            elif layer.activation == "logistic":
+                x = torch.sigmoid(x)
         elif isinstance(layer, MaxPoolSpec):
             total = layer.size - 1
             lo, hi = total // 2, total - total // 2
@@ -178,8 +180,14 @@ def decode_oracle(
     num_classes: int,
     cls_act: str = "sigmoid",
     scale_xy: float = 1.0,
+    new_coords: bool = False,
 ) -> np.ndarray:
-    """NCHW raw map -> (N, Gy*Gx*A, 5+C), the reference view/transpose order."""
+    """NCHW raw map -> (N, Gy*Gx*A, 5+C), the reference view/transpose order.
+
+    ``new_coords`` (Scaled-YOLOv4 dialect): the head conv already applied
+    logistic over all channels, so decode skips its own sigmoid/exp:
+    xy = (t * scale - (scale-1)/2 + grid) * stride, wh = (2t)^2 * anchor,
+    obj/cls pass through (callers pair with ``cls_act="linear"``)."""
     n, ch, gy, gx = raw_nchw.shape
     a = len(anchors)
     attrs = 5 + num_classes
@@ -195,14 +203,18 @@ def decode_oracle(
 
     out = p.clone()
     # YOLOv4 grid sensitivity: bx = (a*sigma(tx) - (a-1)/2 + cx) * stride
+    txy = p[..., 0:2] if new_coords else torch.sigmoid(p[..., 0:2])
     out[..., 0:2] = (
-        torch.sigmoid(p[..., 0:2]) * scale_xy - 0.5 * (scale_xy - 1.0)
-        + torch.from_numpy(offs)
+        txy * scale_xy - 0.5 * (scale_xy - 1.0) + torch.from_numpy(offs)
     ) * stride
     anc = torch.tensor(anchors, dtype=torch.float32)  # (A, 2)
     anc_tiled = anc.repeat(gy * gx, 1)[None]  # (1, Gy*Gx*A, 2)
-    out[..., 2:4] = anc_tiled * torch.exp(p[..., 2:4])
-    out[..., 4:5] = torch.sigmoid(p[..., 4:5])
+    if new_coords:
+        out[..., 2:4] = anc_tiled * (2.0 * p[..., 2:4]) ** 2
+        out[..., 4:5] = p[..., 4:5]
+    else:
+        out[..., 2:4] = anc_tiled * torch.exp(p[..., 2:4])
+        out[..., 4:5] = torch.sigmoid(p[..., 4:5])
     if cls_act == "softmax":
         out[..., 5:] = torch.softmax(p[..., 5:], dim=-1)
     elif cls_act == "linear":
@@ -217,11 +229,13 @@ def decode_all_oracle(spec: ModelSpec, heads_nchw: list[np.ndarray], input_size:
     for raw, head, stride in zip(heads_nchw, spec.yolo_layers, head_strides(spec)):
         if isinstance(head, RegionSpec):  # grid-unit anchors, softmax classes
             anchors = tuple((w * stride, h * stride) for w, h in head.anchors)
-            cls_act, sxy = ("softmax" if head.softmax else "linear"), 1.0
+            cls_act, sxy, nc = ("softmax" if head.softmax else "linear"), 1.0, False
+        elif head.new_coords:  # Scaled-YOLOv4: pre-activated, cls passthrough
+            anchors, cls_act, sxy, nc = head.anchors, "linear", head.scale_x_y, True
         else:
-            anchors, cls_act, sxy = head.anchors, "sigmoid", head.scale_x_y
+            anchors, cls_act, sxy, nc = head.anchors, "sigmoid", head.scale_x_y, False
         outs.append(decode_oracle(raw, anchors, stride, head.classes, cls_act,
-                                  scale_xy=sxy))
+                                  scale_xy=sxy, new_coords=nc))
     return np.concatenate(outs, axis=1)
 
 

@@ -1,0 +1,172 @@
+"""Scaled-YOLOv4 cfg dialect: ``activation=logistic`` + ``[yolo] new_coords=1``.
+
+The yolov4-csp/yolov4x-mish family (arXiv 2011.08036) moves the head
+sigmoid INTO the preceding conv (``activation=logistic`` over all channels)
+and decodes pre-activated values: xy = (t*scale - (scale-1)/2 + grid)*stride,
+wh = (2t)^2 * anchor, obj/cls pass through.  These tests pin the parser, the
+forward activation, both decode implementations (jnp + fused Pallas kernel in
+interpret mode), the torch oracle, and the end-to-end Detector path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_yolo_tpu.config import build_spec, head_strides, parse_cfg_text
+from pytorch_yolo_tpu.models.darknet import apply_activation, build_forward
+from pytorch_yolo_tpu.ops.decode import decode_all, decode_head, head_decode_args
+from pytorch_yolo_tpu.ops.pallas_kernels import (
+    decode_score_head,
+    decode_score_head_ref,
+)
+from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+from tests.oracle.torch_ref import decode_all_oracle, forward_oracle, raw_to_oracle
+
+MINI_CSP_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+filters=255
+size=1
+stride=1
+pad=1
+activation=logistic
+
+[yolo]
+mask = 0,1,2
+anchors = 12, 16, 19, 36, 40, 28
+classes=80
+num=3
+scale_x_y = 2.0
+new_coords=1
+"""
+
+ANCHORS = ((12.0, 16.0), (19.0, 36.0), (40.0, 28.0))
+
+
+def _mini_spec():
+    return build_spec(parse_cfg_text(MINI_CSP_CFG))
+
+
+def test_parse_new_coords_and_logistic():
+    spec = _mini_spec()
+    head = spec.yolo_layers[0]
+    assert head.new_coords is True
+    assert head.scale_x_y == 2.0
+    assert spec.layers[2].activation == "logistic"
+    # default stays off for the classic families
+    v3 = parse_cfg_text("[net]\nwidth=32\nheight=32\n[convolutional]\n"
+                        "filters=255\nsize=1\nstride=1\npad=1\nactivation=linear\n"
+                        "[yolo]\nmask=0,1,2\nanchors=12,16,19,36,40,28\n"
+                        "classes=80\nnum=3\n")
+    assert build_spec(v3).yolo_layers[0].new_coords is False
+
+
+def test_logistic_activation_matches_torch():
+    import torch
+
+    x = np.linspace(-12, 12, 101).astype(np.float32)
+    ours = np.asarray(apply_activation(jnp.asarray(x), "logistic"))
+    theirs = torch.sigmoid(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7)
+
+
+def test_new_coords_decode_math_pinned():
+    """Direct value pins independent of the oracle (both could share a bug).
+
+    With scale_x_y=2 and pre-activated t=0.5 everywhere: the center lands in
+    the middle of its cell ((cx+0.5)*stride) and wh = (2*0.5)^2 * anchor =
+    anchor exactly; obj/cls pass through as 0.5.
+    """
+    gy = gx = 2
+    stride = 4
+    raw = np.full((1, gy, gx, 3 * 85), 0.5, dtype=np.float32)
+    out = np.asarray(decode_head(jnp.asarray(raw), ANCHORS, stride, 80,
+                                 cls_act="linear", scale_xy=2.0,
+                                 new_coords=True))
+    out = out.reshape(gy, gx, 3, 85)
+    for r in range(gy):
+        for c in range(gx):
+            np.testing.assert_allclose(out[r, c, :, 0], (c + 0.5) * stride)
+            np.testing.assert_allclose(out[r, c, :, 1], (r + 0.5) * stride)
+    anchor_w = np.broadcast_to(np.array([a[0] for a in ANCHORS]), out[..., 2].shape)
+    anchor_h = np.broadcast_to(np.array([a[1] for a in ANCHORS]), out[..., 3].shape)
+    np.testing.assert_allclose(out[..., 2], anchor_w)
+    np.testing.assert_allclose(out[..., 3], anchor_h)
+    np.testing.assert_array_equal(out[..., 4:], 0.5)
+
+
+def test_head_decode_args_new_coords():
+    spec = _mini_spec()
+    head, stride = spec.yolo_layers[0], head_strides(spec)[0]
+    assert stride == 4
+    anchors, cls_act, sxy, nc = head_decode_args(head, stride)
+    assert nc is True and cls_act == "linear" and sxy == 2.0
+    assert anchors == ANCHORS
+
+
+def test_mini_csp_forward_and_decode_parity_vs_oracle():
+    spec = _mini_spec()
+    raw = random_raw_params(spec, seed=3)
+    params = jax.tree_util.tree_map(jnp.asarray, fold_batchnorm(spec, raw))
+    fwd = jax.jit(build_forward(spec))
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    heads = fwd(params, jnp.asarray(x))
+    heads_t = forward_oracle(spec, raw_to_oracle(raw), x.transpose(0, 3, 1, 2))
+    for hj, ht in zip(heads, heads_t):
+        np.testing.assert_allclose(np.asarray(hj), ht.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+
+    ours = np.asarray(decode_all(heads, spec, 64))
+    theirs = decode_all_oracle(spec, list(heads_t), 64)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+    # post-logistic decode keeps every wh strictly finite and non-negative
+    assert np.isfinite(ours).all() and (ours[..., 2:4] >= 0).all()
+
+
+def test_new_coords_fused_kernel_matches_ref():
+    rng = np.random.default_rng(11)
+    # head outputs are post-logistic: everything lives in (0, 1)
+    raw = jnp.asarray(rng.uniform(0.01, 0.99, size=(2, 8, 8, 255)).astype(np.float32))
+    kw = dict(cls_act="linear", scale_xy=2.0, new_coords=True)
+    ours = np.asarray(decode_score_head(raw, ANCHORS, 8, 80, **kw))
+    ref = np.asarray(decode_score_head_ref(raw, ANCHORS, 8, 80, **kw))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    assert (ours[..., 6] == ref[..., 6]).all()  # class ids identical
+
+
+def test_mini_csp_end_to_end_detect(tmp_path):
+    from pytorch_yolo_tpu.api import Detector
+
+    cfg = tmp_path / "mini-csp.cfg"
+    cfg.write_text(MINI_CSP_CFG)
+    det = Detector.load(str(cfg))
+    img = np.random.default_rng(5).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    res = det.detect(img, size=64, conf=0.05)
+    boxes = np.asarray(res.boxes, dtype=np.float32)
+    assert np.isfinite(boxes).all()
+    # corners stay inside the original image after un-letterboxing
+    if len(boxes):
+        assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= 128).all()
+        assert (boxes[:, 1] >= 0).all() and (boxes[:, 3] <= 96).all()

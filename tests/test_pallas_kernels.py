@@ -124,7 +124,7 @@ def test_decode_score_region_kernel_matches_ref():
 
     spec = model_spec("yolov2-tiny")
     head, stride = spec.yolo_layers[0], head_strides(spec)[0]
-    anchors, cls_act, _ = head_decode_args(head, stride)
+    anchors, cls_act, _, _ = head_decode_args(head, stride)
     assert cls_act == "softmax" and anchors[0] == (0.57273 * 32, 0.677385 * 32)
     rng = np.random.default_rng(7)
     raw = jnp.asarray(rng.normal(0, 2, size=(2, 13, 13, 425)).astype(np.float32))
