@@ -66,7 +66,7 @@ def _residual(mid: int, out: int) -> list[str]:
 
 
 def _yolo(mask: str, anchors: str, classes: int, num: int,
-          scale_x_y: float | None = None) -> list[str]:
+          scale_x_y: float | None = None, new_coords: bool = False) -> list[str]:
     lines = [
         "[yolo]",
         f"mask = {mask}",
@@ -80,6 +80,8 @@ def _yolo(mask: str, anchors: str, classes: int, num: int,
     ]
     if scale_x_y is not None:
         lines.append(f"scale_x_y = {scale_x_y}")
+    if new_coords:
+        lines.append("new_coords=1")
     lines.append("")
     return lines
 
@@ -426,6 +428,138 @@ def yolov4_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> s
     return "\n".join(lines)
 
 
+def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> str:
+    """Scaled-YOLOv4 "YOLOv4-CSP" (arXiv 2011.08036): CSP-ized everything.
+
+    [B]-tier structure from the paper: CSPDarknet53 backbone whose FIRST
+    stage is reverted to a plain Darknet residual (paper §4.2 — the CSP
+    split is not worth it at 64 channels); the SPP block and every PAN
+    5-conv block are CSP-ized (split -> two 1x1/3x3 bottlenecks -> partial
+    concat -> 1x1 transition, the paper's rCSP = the pytorch release's
+    ``BottleneckCSP2(n=2)``); mish activation over the WHOLE body (unlike
+    yolov4's leaky neck); the three head convs carry
+    ``activation=logistic`` and the ``[yolo]`` blocks set ``scale_x_y=2.0``
+    + ``new_coords=1`` (pre-activated decode); anchors/masks are yolov4's.
+    Upstream default input is 512x512.
+
+    [C]-PINNED, pending re-verification against a real yolov4-csp.cfg /
+    .weights: the exact upstream layer indices and therefore weights-file
+    byte compatibility are NOT asserted (unlike :func:`yolov4_cfg`, whose
+    indices are pinned to upstream).  Internal arithmetic is asserted
+    instead (strides 8/16/32, channel math, CSP concat widths)."""
+    filters_out = 3 * (5 + classes)
+    lines = _net(width, height)
+    layer = -1
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    def conv(f: int, size: int, stride: int = 1, act: str = "mish",
+             bn: bool = True) -> None:
+        emit(_conv(f, size, stride=stride, bn=bn, activation=act), 1)
+
+    conv(32, 3)              # stem
+    conv(64, 3, stride=2)    # downsample 1
+    conv(32, 1)              # stage 1: plain Darknet residual (paper §4.2)
+    conv(64, 3)
+    emit(["[shortcut]", "from=-3", "activation=linear", ""], 1)
+    assert layer == 4
+
+    stage_ends: dict[int, int] = {}
+    for ch, n_blocks in ((128, 2), (256, 8), (512, 8), (1024, 4)):
+        conv(ch, 3, stride=2)        # downsample
+        conv(ch // 2, 1)             # cross-stage (right) branch
+        split_idx = layer
+        emit(["[route]", "layers = -2", ""], 1)
+        conv(ch // 2, 1)             # residual trunk (left) entry
+        for _ in range(n_blocks):
+            conv(ch // 2, 1)
+            conv(ch // 2, 3)
+            emit(["[shortcut]", "from=-3", "activation=linear", ""], 1)
+        conv(ch // 2, 1)             # close the trunk
+        emit([f"[route]", f"layers = -1, {split_idx}", ""], 1)  # CSP concat
+        conv(ch, 1)                  # transition
+        stage_ends[ch] = layer
+    assert stage_ends[256] == 48 and stage_ends[512] == 79, stage_ends
+    assert layer == 98, f"backbone should end at layer 98, got {layer}"
+
+    def csp2(c: int, fuse_first: bool = True) -> None:
+        """CSP-ized 5-conv block (BottleneckCSP2, n=2): input -> 1x1 c,
+        then branch A = 1x1 c, branch B = (1x1 c, 3x3 c) x2, partial
+        concat (2c), 1x1 c transition.  9 layers."""
+        if fuse_first:
+            conv(c, 1)               # cv1: collapse the 2c concat to c
+        conv(c, 1)                   # branch A (off cv1)
+        emit(["[route]", "layers = -2", ""], 1)
+        for _ in range(2):           # branch B: two shortcut-free bottlenecks
+            conv(c, 1)
+            conv(c, 3)
+        emit(["[route]", "layers = -1, -6", ""], 1)   # A ++ B = 2c
+        conv(c, 1)                   # cv3 transition
+
+    # --- CSP-SPP at stride 32 (all mish) ---
+    conv(512, 1)                     # branch A off the backbone end
+    emit(["[route]", "layers = -2", ""], 1)
+    for f, s in ((512, 1), (512, 3), (512, 1)):
+        conv(f, s)                   # branch B pre-SPP stack
+    emit(["[maxpool]", "size=5", "stride=1", ""], 1)
+    emit(["[route]", "layers = -2", ""], 1)
+    emit(["[maxpool]", "size=9", "stride=1", ""], 1)
+    emit(["[route]", "layers = -4", ""], 1)
+    emit(["[maxpool]", "size=13", "stride=1", ""], 1)
+    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)   # 4x512 = 2048
+    conv(512, 1)
+    conv(512, 3)
+    emit(["[route]", "layers = -1, -13", ""], 1)          # B ++ A = 1024
+    conv(512, 1)
+    neck13 = layer
+    assert neck13 == 113, neck13
+
+    # --- PAN top-down: 13² -> 26² -> 52² ---
+    conv(256, 1)
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = {stage_ends[512]}", ""], 1)
+    conv(256, 1)
+    emit(["[route]", "layers = -1, -3", ""], 1)           # 256 ++ 256
+    csp2(256)
+    neck26 = layer
+    assert neck26 == 127, neck26
+    conv(128, 1)
+    emit(["[upsample]", "stride=2", ""], 1)
+    emit([f"[route]", f"layers = {stage_ends[256]}", ""], 1)
+    conv(128, 1)
+    emit(["[route]", "layers = -1, -3", ""], 1)
+    csp2(128)
+    neck52 = layer
+    assert neck52 == 141, neck52
+
+    def head(mask: str) -> None:
+        conv(filters_out, 1, act="logistic", bn=False)
+        emit(_yolo(mask, YOLOV4_ANCHORS, classes, 9, scale_x_y=2.0,
+                   new_coords=True), 1)
+
+    # --- heads + PAN bottom-up (mish body, logistic head convs) ---
+    conv(256, 3)
+    head("0,1,2")                                          # stride 8
+    emit([f"[route]", f"layers = {neck52}", ""], 1)
+    conv(256, 3, stride=2)
+    emit([f"[route]", f"layers = -1, {neck26}", ""], 1)    # 256 ++ 256
+    csp2(256)
+    pan26 = layer
+    conv(512, 3)
+    head("3,4,5")                                          # stride 16
+    emit([f"[route]", f"layers = {pan26}", ""], 1)
+    conv(512, 3, stride=2)
+    emit([f"[route]", f"layers = -1, {neck13}", ""], 1)    # 512 ++ 512
+    csp2(512)
+    conv(1024, 3)
+    head("6,7,8")                                          # stride 32
+    assert layer == 174, f"should end at layer 174, got {layer}"
+    return "\n".join(lines)
+
+
 _GENERATORS = {
     "yolov3": yolov3_cfg,
     "yolov3-spp": yolov3_spp_cfg,
@@ -434,6 +568,7 @@ _GENERATORS = {
     "yolov2-tiny": yolov2_tiny_cfg,
     "yolov4": yolov4_cfg,
     "yolov4-tiny": yolov4_tiny_cfg,
+    "yolov4-csp": yolov4_csp_cfg,
 }
 
 

@@ -169,6 +169,25 @@ def test_yolov4_forward_parity():
         assert rel.max() < 5e-2, f"worst-case rel drift {rel.max():.3e}"
 
 
+def test_yolov4_csp_forward_parity():
+    """Scaled-YOLOv4 (CSP-ized neck, all-mish body, logistic heads) vs oracle.
+
+    Exercises the rCSP/BottleneckCSP2 neck blocks and the logistic head
+    convs end-to-end; the heads are post-sigmoid so values live in (0,1)
+    and absolute tolerance is meaningful."""
+    spec, heads_jax, heads_torch = _run_both("yolov4-csp", 256)
+    assert len(heads_jax) == 3
+    assert [h.shape[1] for h in heads_jax] == [32, 16, 8]
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        ours, theirs = np.asarray(hj), ht_nhwc
+        assert ours.min() >= 0.0 and ours.max() <= 1.0  # logistic head output
+        close = np.isclose(ours, theirs, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998, f"only {close.mean():.4%} within tight tol"
+        assert np.abs(ours - theirs).max() < 5e-2
+
+
 def test_mish_matches_torch_softplus_form():
     """apply_activation('mish') == x * tanh(softplus(x)) incl. extremes."""
     import torch

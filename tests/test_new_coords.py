@@ -170,3 +170,29 @@ def test_mini_csp_end_to_end_detect(tmp_path):
     if len(boxes):
         assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= 128).all()
         assert (boxes[:, 1] >= 0).all() and (boxes[:, 3] <= 96).all()
+
+def test_yolov4_csp_zoo_structure():
+    """Zoo yolov4-csp: Scaled-YOLOv4 (arXiv 2011.08036) shipping model.
+
+    Param count pins the recalled topology to the paper's published
+    52.9M figure (52,986,205 exactly as generated) — the strongest
+    offline corroboration available while the reference mount is empty.
+    """
+    from pytorch_yolo_tpu.config import ConvSpec
+    from pytorch_yolo_tpu.models.zoo import model_spec
+
+    spec = model_spec("yolov4-csp")
+    assert len(spec.layers) == 175
+    assert head_strides(spec) == (8, 16, 32)
+    assert spec.num_detections(416) == 10647  # same grids as yolov3 @416
+    assert spec.num_detections(512) == 16128
+    for head in spec.yolo_layers:
+        assert head.new_coords is True and head.scale_x_y == 2.0
+    # every head conv is logistic; the rest of the body is pure mish
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    heads = [c for c in convs if c.activation == "logistic"]
+    assert len(heads) == 3 and all(not c.batch_normalize for c in heads)
+    assert all(c.activation == "mish" for c in convs if c not in heads)
+    n = sum(c.size * c.size * c.in_channels * c.filters
+            + c.filters * (4 if c.batch_normalize else 1) for c in convs)
+    assert n == 52_986_205, n
