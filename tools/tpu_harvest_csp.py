@@ -1,0 +1,204 @@
+"""yolov4-csp (Scaled-YOLOv4) TPU harvest (one acquisition, safe->risky).
+
+The new_coords dialect + the yolov4-csp zoo model are parity-tested on
+CPU; this child banks the hardware evidence:
+
+  1. new_coords fused Pallas decode: exact-match vs the jnp reference ON
+     the TPU (r2/r3 proofs covered sigmoid/exp decode only; the
+     pre-activated branch has never compiled on real Mosaic),
+  2. full-pipeline Pallas-vs-jnp A/B for yolov4-csp (fp32, b8),
+  3. compute-mode throughput rows at b64: bf16 / int8s / int8sb,
+  4. yolov3 bf16 weather controls at b64 AND at the new b128 bench
+     default (banked: 1343.8 b64 / 1397 b128),
+  5. serving drift (bf16 / int8 modes) vs fp32/HIGHEST.
+
+  python tools/tpu_harvest_csp.py [--retries 5] [--timeout 2400] \
+      [--out perf/csp_r3.jsonl]
+
+Resume: HARVEST_SKIP_TO=<step> skips banked steps (persistent XLA compile
+cache makes retried compiles cheap).  Single-tenant landmines apply: ONE
+patient process, never probe/kill (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, time
+import numpy as np
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+import bench  # repo-root bench.py: measurement library
+bench._honor_jax_platforms_env()
+import jax
+import jax.numpy as jnp
+
+from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
+t_session = time.perf_counter()
+emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
+
+B = int(os.environ.get("HARVEST_BATCH", "16"))
+ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
+
+def guard(step_id, name, fn):
+    if step_id < SKIP_TO:
+        emit(step=name, step_id=step_id, skipped=True)
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:
+        emit(step=name, step_id=step_id, error=str(e)[:300])
+        return None
+    emit(step=name, step_id=step_id,
+         seconds=round(time.perf_counter() - t0, 1), result=out)
+    return out
+
+# ---- 1. new_coords fused Pallas decode: exact on hardware -----------------
+
+def pallas_new_coords_parity():
+    from pytorch_yolo_tpu.ops.pallas_kernels import (decode_score_head,
+                                                     decode_score_head_ref)
+
+    anchors = ((12, 16), (19, 36), (40, 28))
+    rng = np.random.default_rng(31)
+    # head outputs are post-logistic: everything lives in (0, 1)
+    raw = jnp.asarray(rng.uniform(0.01, 0.99, (4, 13, 13, 255))
+                      .astype(np.float32))
+    kw = dict(cls_act="linear", scale_xy=2.0, new_coords=True)
+    ours = np.asarray(decode_score_head(raw, anchors, 32, 80,
+                                        interpret=False, **kw))
+    ref = np.asarray(decode_score_head_ref(raw, anchors, 32, 80, **kw))
+    return {"max_abs_err": float(np.max(np.abs(ours - ref))),
+            "cls_ids_equal": bool((ours[..., 6] == ref[..., 6]).all())}
+
+guard(1, "pallas_new_coords_parity", pallas_new_coords_parity)
+
+# ---- 2. yolov4-csp full pipeline: Pallas vs jnp on TPU --------------------
+
+def csp_pallas_vs_jnp():
+    from pytorch_yolo_tpu.api import Detector, _PipelineKey
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (8, 480, 640, 3), dtype=np.uint8)
+    dev = jax.device_put(imgs)
+    key = _PipelineKey(batch=8, orig_h=480, orig_w=640, size=416,
+                       conf=0.6, iou=0.45, max_det=300, bgr=True)
+    outs = {}
+    for tag, env in (("pallas", None), ("jnp", "1")):
+        if env is None:
+            os.environ.pop("PYTORCH_YOLO_NO_PALLAS", None)
+        else:
+            os.environ["PYTORCH_YOLO_NO_PALLAS"] = env
+        det = Detector.load("yolov4-csp")
+        res = det._pipeline(key)(det.params, dev)
+        outs[tag] = [np.asarray(a) for a in
+                     (res.boxes, res.obj, res.cls_id, res.valid)]
+    os.environ.pop("PYTORCH_YOLO_NO_PALLAS", None)
+    n_p = int(outs["pallas"][3].sum())
+    n_j = int(outs["jnp"][3].sum())
+    box_err = float(np.max(np.abs(outs["pallas"][0] - outs["jnp"][0]))) \
+        if n_p == n_j else None
+    cls_match = bool(np.array_equal(outs["pallas"][2], outs["jnp"][2])) \
+        if n_p == n_j else False
+    return {"n_pallas": n_p, "n_jnp": n_j, "box_max_abs": box_err,
+            "cls_ids_equal": cls_match}
+
+guard(2, "csp_pallas_vs_jnp_fp32", csp_pallas_vs_jnp)
+
+# ---- 3. compute-mode throughput rows --------------------------------------
+
+guard(3, "csp_bf16_b64",
+      lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
+                                    max(ITERS // 2, 5), "bfloat16", "default"))
+guard(4, "csp_int8s_b64",
+      lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
+                                    max(ITERS // 2, 5), "int8s", "default"))
+guard(5, "csp_int8sb_b64",
+      lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
+                                    max(ITERS // 2, 5), "int8sb", "default"))
+
+# weather controls: banked 1343.8 (b64) and 1397 (b128) bf16
+guard(6, "control_yolov3_bf16_b64",
+      lambda: bench.measure_compute("yolov3", 416, 4 * B,
+                                    max(ITERS // 2, 5), "bfloat16", "default"))
+guard(7, "control_yolov3_bf16_b128",
+      lambda: bench.measure_compute("yolov3", 416, 8 * B,
+                                    max(ITERS // 2, 5), "bfloat16", "default"))
+
+# ---- 4. serving drift vs fp32/HIGHEST -------------------------------------
+
+guard(8, "drift_csp", lambda: bench.measure_drift("yolov4-csp", 416,
+                                                  n_imgs=2))
+
+emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
+"""
+
+
+def run_once(args) -> tuple[int, bool]:
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    done = False
+    with open(args.out, "a") as sink, \
+            open(args.out + ".stderr", "a") as err_sink:
+        proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
+                                stdout=subprocess.PIPE,
+                                stderr=err_sink,
+                                text=True, env=env, cwd=repo)
+        import threading
+
+        timer = threading.Timer(args.timeout, proc.kill)
+        timer.daemon = True
+        timer.start()
+        try:
+            for line in proc.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                sink.write(line)
+                sink.flush()
+                if '"step": "done"' in line:
+                    done = True
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        finally:
+            timer.cancel()
+    if proc.returncode not in (0,):
+        print(f"child exited rc={proc.returncode}", file=sys.stderr)
+    return (0 if proc.returncode == 0 else 2), done
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--retries", type=int, default=5)
+    ap.add_argument("--retry-wait", type=int, default=120)
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--out", default="perf/csp_r3.jsonl")
+    args = ap.parse_args()
+
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
+                  file=sys.stderr)
+            time.sleep(args.retry_wait)
+        rc, done = run_once(args)
+        if done:
+            return 0
+        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
+              file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
