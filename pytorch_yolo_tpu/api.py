@@ -440,9 +440,17 @@ class Detector:
             h, w = self.spec.net.height, self.spec.net.width
             size = w if h == w else (h, w)
         dims = size if isinstance(size, tuple) else (size,)
+        # The grid must stay integral through the deepest downsample so the
+        # upsample+route fusions re-align: stride-64 models (yolov4-p6)
+        # need %64, everything else %32.
+        from .config import head_strides
+
+        mod = max(32, max(head_strides(self.spec)))
         for d in dims:
-            if d % 32:
-                raise ValueError(f"input size {size} must be a multiple of 32")
+            if d % mod:
+                raise ValueError(
+                    f"input size {size} must be a multiple of {mod} "
+                    f"(deepest head stride of this model)")
         return size
 
     # ------------------------------------------------------------------

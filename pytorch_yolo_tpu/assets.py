@@ -18,6 +18,9 @@ yolov3-spp.weights   252 732 052   YOLOv3-SPP COCO weights
 yolov2.weights       203 934 260   YOLOv2-608 COCO weights
 yolov4.weights       257 717 640   YOLOv4-416 COCO weights (CSP+SPP+PAN)
 yolov4-tiny.weights   24 251 276   tiny-YOLOv4 COCO weights
+yolov4-csp.weights   211 944 840   Scaled-YOLOv4 CSP (size from our spec)
+yolov4-p5.weights    283 669 892   Scaled-YOLOv4 P5 (size from our spec)
+yolov4-p6.weights    514 118 356   Scaled-YOLOv4 P6 (size from our spec)
 instances_val2017.json     ~19 MB  COCO 2017 val annotations
 val2017/                  5k jpgs  COCO 2017 val images
 ===================  ============  =======================================
@@ -46,6 +49,13 @@ EXPECTED_WEIGHTS = {
     # independently confirms the generator reproduces the upstream topology.
     "yolov4.weights": 257_717_640,
     "yolov4-tiny.weights": 24_251_276,
+    # Scaled-YOLOv4 dialect models: sizes computed from OUR generated specs.
+    # Their upstream layer indices are [C]-pinned-unverified (CLAUDE.md), so
+    # a real release file may land outside the band — the scanner still
+    # reports it by name with header info for manual adoption.
+    "yolov4-csp.weights": 211_944_840,
+    "yolov4-p5.weights": 283_669_892,
+    "yolov4-p6.weights": 514_118_356,
 }
 
 ANNOTATION_NAMES = ("instances_val2017.json", "instances_val2014.json")

@@ -42,8 +42,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--names", default=None, help=".names file (default COCO-80)")
     p.add_argument("--confidence", type=float, default=0.5)
     p.add_argument("--nms_thresh", type=float, default=0.4)
-    p.add_argument("--reso", type=int, default=416, choices=(320, 416, 608),
-                   help="network input resolution")
+    p.add_argument("--reso", type=int, default=416,
+                   help="network input resolution (reference trio 320/416/608;"
+                        " must be a multiple of the model's deepest stride —"
+                        " 64 for yolov4-p6, 32 otherwise)")
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
@@ -356,7 +358,9 @@ def cmd_info(args) -> int:
     print(f"net input: {spec.net.width}x{spec.net.height}  classes: {spec.num_classes}")
     for h, s in zip(heads, head_strides(spec)):
         print(f"  head @stride {s:>2}: anchors {h.anchors}")
-    for size in (320, 416, 608):
+    mod = max(32, max(head_strides(spec)))
+    ladder = (320, 416, 608) if mod == 32 else (640, 896, 1280)
+    for size in ladder:
         print(f"  detections @{size}: {spec.num_detections(size)}")
     return 0
 

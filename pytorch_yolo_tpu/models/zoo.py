@@ -23,6 +23,14 @@ YOLOV3_TINY_ANCHORS = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
 # masks {3,4,5}/{1,2,3} (upstream yolov4-tiny.cfg leaves anchor 0 unused).
 YOLOV4_ANCHORS = "12,16, 19,36, 40,28, 36,75, 76,55, 72,146, 142,110, 192,243, 459,401"
 YOLOV4_TINY_ANCHORS = YOLOV3_TINY_ANCHORS
+# Scaled-YOLOv4 "large" anchor tables (arXiv 2011.08036 release configs):
+# 4 anchors per head.  P6 genuinely repeats anchors across adjacent scales
+# (61,45 / 97,189 / 324,451 each serve two heads) — that oddity is upstream.
+YOLOV4_P5_ANCHORS = ("13,17, 31,25, 24,51, 61,45, 48,102, 119,96, 97,189, "
+                     "217,184, 171,384, 324,451, 616,618, 800,800")
+YOLOV4_P6_ANCHORS = ("13,17, 31,25, 24,51, 61,45, 61,45, 48,102, 119,96, "
+                     "97,189, 97,189, 217,184, 171,384, 324,451, 324,451, "
+                     "545,357, 616,618, 1024,1024")
 # YOLOv2 [region] anchors are in grid-cell units (upstream yolov2.cfg, COCO).
 YOLOV2_ANCHORS = ("0.57273,0.677385, 1.87446,2.06253, 3.33843,5.47434, "
                   "7.88282,3.52778, 9.77052,9.16828")
@@ -560,6 +568,154 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
     return "\n".join(lines)
 
 
+def _yolov4_large_cfg(classes: int, width: int, height: int,
+                      stages: tuple[tuple[int, int], ...],
+                      anchors: str, anchors_per_head: int) -> str:
+    """Shared generator for the Scaled-YOLOv4 "large" models (P5/P6).
+
+    [B]-tier structure from the Scaled-YOLOv4 paper (arXiv 2011.08036,
+    §4.3 + the yolov4-large release configs): a fully CSP-ized backbone
+    (every stage, including the first, is a standard CSP stage — unlike
+    yolov4-csp, which reverts stage 1), a CSP-SPP block on the top
+    pyramid level, a PAN neck whose blocks are BottleneckCSP2 with n=3
+    (vs n=2 in yolov4-csp), and **4 anchors per head** with
+    ``scale_x_y=2.0`` + ``new_coords=1`` pre-activated decode.
+
+    ``stages`` lists (channels, residual_blocks) per pyramid level P1..Ptop;
+    heads sit at P3..Ptop (stride 8..2^len(stages)).  Width ladders, all
+    arithmetic-derived rather than hand-coded: top-down neck width at
+    pyramid level k is ``min(512, 2^(k+4))`` (128/256/512 capped at the
+    CSP-SPP's 512); head + downsample conv widths equal the backbone
+    channels of their level; each bottom-up CSP2 runs at the width of the
+    level below.  These ladders reproduce the release configs' channel
+    arithmetic for both P5 and P6.
+
+    [C]-PINNED like :func:`yolov4_csp_cfg`: exact upstream layer indices
+    (and therefore .weights byte compatibility) are NOT asserted; internal
+    arithmetic (strides, concat widths, anchor count) is asserted instead.
+    """
+    filters_out = anchors_per_head * (5 + classes)
+    n_levels = len(stages)
+    head_levels = list(range(2, n_levels))          # stage idx of P3..Ptop
+    masks = [",".join(str(anchors_per_head * j + a)
+                      for a in range(anchors_per_head))
+             for j in range(len(head_levels))]
+    num = anchors_per_head * len(head_levels)
+    assert num * 2 == len(anchors.split(",")), (num, anchors)
+
+    lines = _net(width, height)
+    layer = -1
+
+    def emit(chunk: list[str], n_layers: int) -> None:
+        nonlocal layer
+        lines.extend(chunk)
+        layer += n_layers
+
+    def conv(f: int, size: int, stride: int = 1, act: str = "mish",
+             bn: bool = True) -> None:
+        emit(_conv(f, size, stride=stride, bn=bn, activation=act), 1)
+
+    conv(32, 3)                                     # stem
+    stage_ends: list[int] = []                      # transition conv per level
+    for ch, n_blocks in stages:
+        conv(ch, 3, stride=2)                       # downsample
+        conv(ch // 2, 1)                            # cross-stage (right)
+        split_idx = layer
+        emit(["[route]", "layers = -2", ""], 1)
+        conv(ch // 2, 1)                            # trunk entry
+        for _ in range(n_blocks):
+            conv(ch // 2, 1)
+            conv(ch // 2, 3)
+            emit(["[shortcut]", "from=-3", "activation=linear", ""], 1)
+        conv(ch // 2, 1)                            # close the trunk
+        emit([f"[route]", f"layers = -1, {split_idx}", ""], 1)
+        conv(ch, 1)                                 # transition
+        stage_ends.append(layer)
+
+    def csp2(c: int, n: int = 3, fuse_first: bool = True) -> None:
+        """BottleneckCSP2(n): collapse -> branch A 1x1 + branch B n
+        shortcut-free bottlenecks -> partial concat -> 1x1 transition."""
+        if fuse_first:
+            conv(c, 1)
+        conv(c, 1)                                  # branch A
+        emit(["[route]", "layers = -2", ""], 1)
+        for _ in range(n):
+            conv(c, 1)
+            conv(c, 3)
+        emit([f"[route]", f"layers = -1, {-(2 * n + 2)}", ""], 1)
+        conv(c, 1)
+
+    # --- CSP-SPP (512) on the top pyramid level, identical block to csp ---
+    conv(512, 1)                                    # branch A
+    emit(["[route]", "layers = -2", ""], 1)
+    for f, s in ((512, 1), (512, 3), (512, 1)):
+        conv(f, s)                                  # branch B pre-SPP
+    emit(["[maxpool]", "size=5", "stride=1", ""], 1)
+    emit(["[route]", "layers = -2", ""], 1)
+    emit(["[maxpool]", "size=9", "stride=1", ""], 1)
+    emit(["[route]", "layers = -4", ""], 1)
+    emit(["[maxpool]", "size=13", "stride=1", ""], 1)
+    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)  # 4x512
+    conv(512, 1)
+    conv(512, 3)
+    emit(["[route]", "layers = -1, -13", ""], 1)    # B ++ A = 1024
+    conv(512, 1)
+
+    # --- PAN top-down: Ptop-1 ... P3 ---
+    neck_out = {head_levels[-1]: layer}             # level idx -> layer idx
+    for lvl in range(n_levels - 2, 1, -1):          # P(top-1) down to P3
+        w = min(512, 2 ** (lvl + 5))                # 128/256/512... capped
+        conv(w, 1)
+        emit(["[upsample]", "stride=2", ""], 1)
+        emit([f"[route]", f"layers = {stage_ends[lvl]}", ""], 1)
+        conv(w, 1)                                  # lateral
+        emit(["[route]", "layers = -1, -3", ""], 1)  # w ++ w
+        csp2(w)
+        neck_out[lvl] = layer
+
+    # --- heads + PAN bottom-up ---
+    def head(mask: str) -> None:
+        conv(filters_out, 1, act="logistic", bn=False)
+        emit(_yolo(mask, anchors, classes, num, scale_x_y=2.0,
+                   new_coords=True), 1)
+
+    bb = [stages[i][0] for i in head_levels]        # backbone ch at P3..Ptop
+    conv(bb[0], 3)
+    head(masks[0])                                  # stride-8 head
+    prev_csp2 = neck_out[2]
+    for j in range(1, len(head_levels)):
+        emit([f"[route]", f"layers = {prev_csp2}", ""], 1)
+        conv(bb[j - 1], 3, stride=2)                # downsample path
+        emit([f"[route]", f"layers = -1, {neck_out[head_levels[j]]}", ""], 1)
+        csp2(bb[j - 1])
+        prev_csp2 = layer
+        conv(bb[j], 3)
+        head(masks[j])
+    return "\n".join(lines)
+
+
+def yolov4_p5_cfg(classes: int = 80, width: int = 896, height: int = 896) -> str:
+    """Scaled-YOLOv4 **P5** (arXiv 2011.08036): CSP stages with 1/3/15/15/7
+    residual blocks at 64..1024 channels, 12 anchors over 3 heads
+    (strides 8/16/32), upstream default input 896x896.  Release param
+    count is 70.8M; this generator's own ledger is asserted in tests."""
+    return _yolov4_large_cfg(
+        classes, width, height,
+        stages=((64, 1), (128, 3), (256, 15), (512, 15), (1024, 7)),
+        anchors=YOLOV4_P5_ANCHORS, anchors_per_head=4)
+
+
+def yolov4_p6_cfg(classes: int = 80, width: int = 1280, height: int = 1280) -> str:
+    """Scaled-YOLOv4 **P6**: one more 1024-wide stride-64 stage (P5 level
+    narrows to 768), 16 anchors over 4 heads (strides 8/16/32/64),
+    upstream default input 1280x1280 — input size must be divisible by
+    64.  Release param count is 127.6M."""
+    return _yolov4_large_cfg(
+        classes, width, height,
+        stages=((64, 1), (128, 3), (256, 15), (512, 15), (768, 7), (1024, 7)),
+        anchors=YOLOV4_P6_ANCHORS, anchors_per_head=4)
+
+
 _GENERATORS = {
     "yolov3": yolov3_cfg,
     "yolov3-spp": yolov3_spp_cfg,
@@ -569,6 +725,8 @@ _GENERATORS = {
     "yolov4": yolov4_cfg,
     "yolov4-tiny": yolov4_tiny_cfg,
     "yolov4-csp": yolov4_csp_cfg,
+    "yolov4-p5": yolov4_p5_cfg,
+    "yolov4-p6": yolov4_p6_cfg,
 }
 
 
@@ -576,13 +734,23 @@ def available_models() -> tuple[str, ...]:
     return tuple(sorted(_GENERATORS))
 
 
-def model_spec(name: str, classes: int = 80, width: int = 416, height: int = 416) -> ModelSpec:
-    """Build the named flagship model's :class:`ModelSpec` directly."""
+def model_spec(name: str, classes: int = 80, width: int | None = None,
+               height: int | None = None) -> ModelSpec:
+    """Build the named flagship model's :class:`ModelSpec` directly.
+
+    ``width``/``height`` default to each generator's upstream net size
+    (416 for the v2/v3/v4 families, 512 for yolov4-csp, 896/1280 for
+    yolov4-p5/p6)."""
     try:
         gen = _GENERATORS[name]
     except KeyError:
         raise ValueError(f"unknown model {name!r}; available: {available_models()}") from None
-    return build_spec(parse_cfg_text(gen(classes=classes, width=width, height=height)))
+    kw = {}
+    if width is not None:
+        kw["width"] = width
+    if height is not None:
+        kw["height"] = height
+    return build_spec(parse_cfg_text(gen(classes=classes, **kw)))
 
 
 def write_cfg(name: str, path: str, classes: int = 80) -> None:

@@ -188,6 +188,40 @@ def test_yolov4_csp_forward_parity():
         assert np.abs(ours - theirs).max() < 5e-2
 
 
+def test_yolov4_p5_forward_parity():
+    """Scaled-YOLOv4 P5 (yolov4-large): fully CSP-ized backbone incl.
+    stage 1, n=3 CSP2 neck blocks, 4-anchor logistic heads.  256² input
+    keeps CPU cost sane; topology arithmetic is resolution-independent."""
+    spec, heads_jax, heads_torch = _run_both("yolov4-p5", 256)
+    assert len(heads_jax) == 3
+    assert [h.shape[1] for h in heads_jax] == [32, 16, 8]
+    assert all(h.shape[-1] == 4 * 85 for h in heads_jax)  # 4 anchors/head
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        ours, theirs = np.asarray(hj), ht_nhwc
+        assert ours.min() >= 0.0 and ours.max() <= 1.0  # logistic heads
+        close = np.isclose(ours, theirs, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998, f"only {close.mean():.4%} within tight tol"
+        assert np.abs(ours - theirs).max() < 5e-2
+
+
+def test_yolov4_p6_forward_parity():
+    """Scaled-YOLOv4 P6: 6 pyramid levels, 768-wide P5 stage, 4 heads at
+    strides 8/16/32/64.  Synthetic weights saturate the logistic heads at
+    this depth, so this test pins topology/layout/shapes; value-level
+    4-anchor decode parity is covered by the mini-cfg tests in
+    test_new_coords.py."""
+    spec, heads_jax, heads_torch = _run_both("yolov4-p6", 128)
+    assert len(heads_jax) == 4
+    assert [h.shape[1] for h in heads_jax] == [16, 8, 4, 2]
+    assert all(h.shape[-1] == 4 * 85 for h in heads_jax)
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        np.testing.assert_allclose(np.asarray(hj), ht_nhwc, rtol=1e-3, atol=1e-3)
+
+
 def test_mish_matches_torch_softplus_form():
     """apply_activation('mish') == x * tanh(softplus(x)) incl. extremes."""
     import torch

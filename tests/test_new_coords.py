@@ -171,6 +171,164 @@ def test_mini_csp_end_to_end_detect(tmp_path):
         assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= 128).all()
         assert (boxes[:, 1] >= 0).all() and (boxes[:, 3] <= 96).all()
 
+ANCHORS4 = ((13.0, 17.0), (31.0, 25.0), (24.0, 51.0), (61.0, 45.0))
+
+MINI_P6_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+filters=340
+size=1
+stride=1
+pad=1
+activation=logistic
+
+[yolo]
+mask = 0,1,2,3
+anchors = 13,17, 31,25, 24,51, 61,45
+classes=80
+num=4
+scale_x_y = 2.0
+new_coords=1
+"""
+
+
+def test_new_coords_fused_kernel_matches_ref_4anchor():
+    """The Scaled-YOLOv4 large heads carry FOUR anchors (340 channels) —
+    pin the fused kernel's anchor-count genericity, never exercised by
+    the 3-anchor families."""
+    rng = np.random.default_rng(13)
+    raw = jnp.asarray(rng.uniform(0.01, 0.99, size=(2, 8, 8, 340)).astype(np.float32))
+    kw = dict(cls_act="linear", scale_xy=2.0, new_coords=True)
+    ours = np.asarray(decode_score_head(raw, ANCHORS4, 8, 80, **kw))
+    ref = np.asarray(decode_score_head_ref(raw, ANCHORS4, 8, 80, **kw))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    assert (ours[..., 6] == ref[..., 6]).all()
+
+
+def test_mini_p6_stride64_end_to_end(tmp_path):
+    """4-anchor head at stride 64 bytes-to-boxes, plus the input-size
+    divisibility guard (stride-64 models reject %32-only sizes)."""
+    import pytest
+
+    from pytorch_yolo_tpu.api import Detector
+
+    cfg = tmp_path / "mini-p6.cfg"
+    cfg.write_text(MINI_P6_CFG)
+    det = Detector.load(str(cfg))
+    assert head_strides(det.spec) == (64,)
+    img = np.random.default_rng(7).integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    res = det.detect(img, size=64, conf=0.05)
+    boxes = np.asarray(res.boxes, dtype=np.float32)
+    assert np.isfinite(boxes).all()
+    with pytest.raises(ValueError, match="multiple of 64"):
+        det.detect(img, size=96)
+
+
+def test_mini_p6_forward_decode_parity_vs_oracle(tmp_path):
+    """Value-level 4-anchor new_coords parity vs the torch oracle (the
+    full P6 zoo model saturates its heads under synthetic weights, so the
+    value-sensitive check lives here at controlled magnitude)."""
+    spec = build_spec(parse_cfg_text(MINI_P6_CFG))
+    raw = random_raw_params(spec, seed=9)
+    params = jax.tree_util.tree_map(jnp.asarray, fold_batchnorm(spec, raw))
+    fwd = jax.jit(build_forward(spec))
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    heads = fwd(params, jnp.asarray(x))
+    heads_t = forward_oracle(spec, raw_to_oracle(raw), x.transpose(0, 3, 1, 2))
+    for hj, ht in zip(heads, heads_t):
+        np.testing.assert_allclose(np.asarray(hj), ht.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+    ours = np.asarray(decode_all(heads, spec, 64))
+    theirs = decode_all_oracle(spec, list(heads_t), 64)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+    assert ours.shape[1] == 4  # 4 anchors on the single 1x1 grid
+
+
+def test_yolov4_large_zoo_structure():
+    """Zoo yolov4-p5 / yolov4-p6 (Scaled-YOLOv4 large, arXiv 2011.08036).
+
+    Param counts pin the generated topology against the release figures
+    (P5: 70.8M torch-learnable ≈ 70,917,468 darknet-file floats incl. BN
+    running stats; P6: 127.6M ≈ 128,529,584) — the strongest offline
+    corroboration available while the reference mount is empty ([C]-pinned
+    like yolov4-csp: upstream layer indices / byte-compat unverified)."""
+    from pytorch_yolo_tpu.config import ConvSpec
+    from pytorch_yolo_tpu.models.zoo import model_spec
+
+    for name, layers, n_heads, strides, params, w, dets in (
+        ("yolov4-p5", 243, 3, (8, 16, 32), 70_917_468, 896, 65_856),
+        ("yolov4-p6", 304, 4, (8, 16, 32, 64), 128_529_584, 1280, 136_000),
+    ):
+        spec = model_spec(name, width=w, height=w)
+        assert len(spec.layers) == layers, (name, len(spec.layers))
+        assert head_strides(spec) == strides
+        assert spec.num_detections(w) == dets
+        for head in spec.yolo_layers:
+            assert head.new_coords is True and head.scale_x_y == 2.0
+            assert len(head.anchors) == 4  # 4 anchors per head
+        convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+        heads = [c for c in convs if c.activation == "logistic"]
+        assert len(heads) == n_heads and all(not c.batch_normalize for c in heads)
+        assert all(c.activation == "mish" for c in convs if c not in heads)
+        n = sum(c.size * c.size * c.in_channels * c.filters
+                + c.filters * (4 if c.batch_normalize else 1) for c in convs)
+        assert n == params, (name, n)
+
+
 def test_yolov4_csp_zoo_structure():
     """Zoo yolov4-csp: Scaled-YOLOv4 (arXiv 2011.08036) shipping model.
 
