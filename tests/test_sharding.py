@@ -229,3 +229,27 @@ def test_yolov4_tiny_on_mesh_matches_single(mesh):
         assert len(a) == len(b)
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
         np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_stride64_4anchor_on_mesh_matches_single(mesh, tmp_path):
+    """Scaled-YOLOv4-large head geometry (4 anchors, stride-64 grid) under
+    GSPMD batch sharding == single device.  Uses the mini-P6 cfg so the
+    8-way CPU mesh test stays cheap; the full yolov4-p6 shares the exact
+    decode/NMS code path."""
+    from tests.test_new_coords import MINI_P6_CFG
+
+    cfg = tmp_path / "mini-p6.cfg"
+    cfg.write_text(MINI_P6_CFG)
+    det_single = pyt.Detector.load(str(cfg))
+    det_mesh = pyt.Detector(det_single.spec,
+                            jax.tree_util.tree_map(np.asarray, det_single.params),
+                            mesh=mesh)
+    imgs = np.random.default_rng(11).integers(
+        0, 256, size=(8, 96, 128, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, size=64, conf=0.05)
+    r_mesh = det_mesh.detect_batch(imgs, size=64, conf=0.05)
+    assert len(r_single) == len(r_mesh) == 8
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(a.cls_id, b.cls_id)

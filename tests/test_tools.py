@@ -58,3 +58,13 @@ def test_bisect_harness_runs_one_probe_cpu():
     finally:
         if os.path.exists(out):
             os.remove(out)
+
+
+def test_csp_and_large_harvest_children_parse():
+    for path in ("tools/tpu_harvest_csp.py", "tools/tpu_harvest_large.py"):
+        src = _embedded_source(path, "CHILD")
+        ast.parse(src)
+        ids = [int(n.args[0].value) for n in ast.walk(ast.parse(src))
+               if isinstance(n, ast.Call) and getattr(n.func, "id", "") == "guard"]
+        assert ids == sorted(ids), f"{path}: step ids must be ordered"
+        assert len(ids) == len(set(ids)), f"{path}: step ids must be unique"

@@ -1,0 +1,192 @@
+"""Scaled-YOLOv4 large (yolov4-p5 / yolov4-p6) TPU harvest (one acquisition).
+
+Banks the first hardware evidence for the 4-anchor / stride-64 head
+geometry (CPU-parity-tested in tests/test_new_coords.py):
+
+  1. 4-anchor fused Pallas decode: exact-match vs jnp reference ON the TPU
+     (340-channel head blocks have never compiled on real Mosaic),
+  2. full-pipeline Pallas-vs-jnp A/B for yolov4-p5 (fp32, b4),
+  3. compute-mode throughput: p5 @416 b32 + @896 b8; p6 @640 b8 (bf16),
+  4. yolov3 bf16 b64 weather control (banked 1343.8 r3 / 1301 same-day),
+  5. p5 serving drift (bf16 vs fp32/HIGHEST).
+
+  python tools/tpu_harvest_large.py [--retries 5] [--timeout 2400] \
+      [--out perf/large_r3.jsonl]
+
+Resume: HARVEST_SKIP_TO=<step> skips banked steps.  Single-tenant
+landmines apply: ONE patient process, never probe/kill (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, time
+import numpy as np
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+import bench  # repo-root bench.py: measurement library
+bench._honor_jax_platforms_env()
+import jax
+import jax.numpy as jnp
+
+from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
+t_session = time.perf_counter()
+emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
+
+def guard(step_id, name, fn):
+    if step_id < SKIP_TO:
+        emit(step=name, step_id=step_id, skipped=True)
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:
+        emit(step=name, step_id=step_id, error=str(e)[:300])
+        return None
+    emit(step=name, step_id=step_id,
+         seconds=round(time.perf_counter() - t0, 1), result=out)
+    return out
+
+# ---- 1. 4-anchor fused Pallas decode: exact on hardware -------------------
+
+def pallas_4anchor_parity():
+    from pytorch_yolo_tpu.ops.pallas_kernels import (decode_score_head,
+                                                     decode_score_head_ref)
+
+    anchors = ((13, 17), (31, 25), (24, 51), (61, 45))
+    rng = np.random.default_rng(17)
+    raw = jnp.asarray(rng.uniform(0.01, 0.99, (4, 13, 13, 340))
+                      .astype(np.float32))
+    kw = dict(cls_act="linear", scale_xy=2.0, new_coords=True)
+    ours = np.asarray(decode_score_head(raw, anchors, 32, 80,
+                                        interpret=False, **kw))
+    ref = np.asarray(decode_score_head_ref(raw, anchors, 32, 80, **kw))
+    return {"max_abs_err": float(np.max(np.abs(ours - ref))),
+            "cls_ids_equal": bool((ours[..., 6] == ref[..., 6]).all())}
+
+guard(1, "pallas_4anchor_parity", pallas_4anchor_parity)
+
+# ---- 2. yolov4-p5 full pipeline: Pallas vs jnp on TPU ---------------------
+
+def p5_pallas_vs_jnp():
+    from pytorch_yolo_tpu.api import Detector, _PipelineKey
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 480, 640, 3), dtype=np.uint8)
+    dev = jax.device_put(imgs)
+    key = _PipelineKey(batch=4, orig_h=480, orig_w=640, size=416,
+                       conf=0.6, iou=0.45, max_det=300, bgr=True)
+    outs = {}
+    for tag, env in (("pallas", None), ("jnp", "1")):
+        if env is None:
+            os.environ.pop("PYTORCH_YOLO_NO_PALLAS", None)
+        else:
+            os.environ["PYTORCH_YOLO_NO_PALLAS"] = env
+        det = Detector.load("yolov4-p5")
+        res = det._pipeline(key)(det.params, dev)
+        outs[tag] = [np.asarray(a) for a in
+                     (res.boxes, res.obj, res.cls_id, res.valid)]
+    os.environ.pop("PYTORCH_YOLO_NO_PALLAS", None)
+    n_p = int(outs["pallas"][3].sum())
+    n_j = int(outs["jnp"][3].sum())
+    box_err = float(np.max(np.abs(outs["pallas"][0] - outs["jnp"][0]))) \
+        if n_p == n_j else None
+    cls_match = bool(np.array_equal(outs["pallas"][2], outs["jnp"][2])) \
+        if n_p == n_j else False
+    return {"n_pallas": n_p, "n_jnp": n_j, "box_max_abs": box_err,
+            "cls_ids_equal": cls_match}
+
+guard(2, "p5_pallas_vs_jnp_fp32", p5_pallas_vs_jnp)
+
+# ---- 3. compute-mode throughput rows --------------------------------------
+
+guard(3, "p5_bf16_416_b32",
+      lambda: bench.measure_compute("yolov4-p5", 416, 32, 10,
+                                    "bfloat16", "default"))
+guard(4, "p5_bf16_896_b8",
+      lambda: bench.measure_compute("yolov4-p5", 896, 8, 10,
+                                    "bfloat16", "default"))
+guard(5, "p6_bf16_640_b8",
+      lambda: bench.measure_compute("yolov4-p6", 640, 8, 10,
+                                    "bfloat16", "default"))
+
+guard(6, "control_yolov3_bf16_b64",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "bfloat16", "default"))
+
+# ---- 4. p5 serving drift vs fp32/HIGHEST ----------------------------------
+
+guard(7, "drift_p5", lambda: bench.measure_drift("yolov4-p5", 416, n_imgs=2))
+
+emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
+"""
+
+
+def run_once(args) -> tuple[int, bool]:
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    done = False
+    with open(args.out, "a") as sink, \
+            open(args.out + ".stderr", "a") as err_sink:
+        proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
+                                stdout=subprocess.PIPE,
+                                stderr=err_sink,
+                                text=True, env=env, cwd=repo)
+        import threading
+
+        timer = threading.Timer(args.timeout, proc.kill)
+        timer.daemon = True
+        timer.start()
+        try:
+            for line in proc.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                sink.write(line)
+                sink.flush()
+                if '"step": "done"' in line:
+                    done = True
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        finally:
+            timer.cancel()
+    if proc.returncode not in (0,):
+        print(f"child exited rc={proc.returncode}", file=sys.stderr)
+    return (0 if proc.returncode == 0 else 2), done
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--retries", type=int, default=5)
+    ap.add_argument("--retry-wait", type=int, default=120)
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--out", default="perf/large_r3.jsonl")
+    args = ap.parse_args()
+
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
+                  file=sys.stderr)
+            time.sleep(args.retry_wait)
+        rc, done = run_once(args)
+        if done:
+            return 0
+        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
+              file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
