@@ -49,16 +49,7 @@ def _oracle_detections(spec, raw, img, size, conf, iou):
     return boxes, rows[:, 4], rows[:, 6].astype(np.int64)
 
 
-@pytest.mark.parametrize("model,size,conf", [
-    ("yolov3-tiny", 416, 0.9),
-    ("yolov3-tiny", 320, 0.9),
-    # v2's synthetic-weight objectness tops out ~0.77 (region head): a lower
-    # conf keeps detections present while the count stays far under max_det
-    ("yolov2", 320, 0.6),
-])
-def test_oracle_chain_map_proxy(model, size, conf):
-    spec = model_spec(model)
-    raw = random_raw_params(spec, seed=42)
+def _proxy_map(spec, raw, size, conf):
     det = pyt.Detector(spec, fold_batchnorm(spec, raw))
     iou, max_det = 0.45, 1024
     evals = []
@@ -84,7 +75,38 @@ def test_oracle_chain_map_proxy(model, size, conf):
         evals.append(ImageEval(
             det_boxes=d.boxes, det_scores=d.obj, det_classes=d.cls_id,
             gt_boxes=gt_boxes, gt_classes=gt_cls))
-    r = evaluate(evals, iou_thresh=0.5)
+    return evaluate(evals, iou_thresh=0.5)
+
+
+@pytest.mark.parametrize("model,size,conf", [
+    ("yolov3-tiny", 416, 0.9),
+    ("yolov3-tiny", 320, 0.9),
+    # v2's synthetic-weight objectness tops out ~0.77 (region head): a lower
+    # conf keeps detections present while the count stays far under max_det
+    ("yolov2", 320, 0.6),
+])
+def test_oracle_chain_map_proxy(model, size, conf):
+    spec = model_spec(model)
+    raw = random_raw_params(spec, seed=42)
+    r = _proxy_map(spec, raw, size, conf)
     # boundary candidates (conf/IoU exact ties under different fp orders)
     # can flip a handful of detections; anything structural craters this
+    assert r["mAP"] >= 0.95, r
+
+
+def test_oracle_chain_map_proxy_new_coords():
+    """Scaled-YOLOv4 dialect through the full proxy chain (pre-activated
+    decode -> NMS -> unletterbox -> evaluator).  Uses the mini-CSP cfg:
+    the zoo CSP models saturate their logistic heads under synthetic
+    weights (obj == 1.0 everywhere), which makes top-k ranking pure
+    tie-breaking — the mini cfg keeps scores spread in (0, 1)."""
+    from pytorch_yolo_tpu.config import build_spec, parse_cfg_text
+
+    from tests.test_new_coords import MINI_CSP_CFG
+
+    spec = build_spec(parse_cfg_text(MINI_CSP_CFG))
+    raw = random_raw_params(spec, seed=42)
+    # synthetic mini-cfg objectness tops out ~0.56 (measured):
+    # conf=0.45 keeps a solid GT set above the +0.02 boundary margin
+    r = _proxy_map(spec, raw, size=64, conf=0.45)
     assert r["mAP"] >= 0.95, r
