@@ -129,6 +129,15 @@ guard(6, "control_yolov3_bf16_b64",
 
 guard(7, "drift_p5", lambda: bench.measure_drift("yolov4-p5", 416, n_imgs=2))
 
+# ---- 5. batch frontier past b128 (frontier_r3 stopped there: 1397) --------
+
+guard(8, "yolov3_bf16_b192",
+      lambda: bench.measure_compute("yolov3", 416, 192, 10,
+                                    "bfloat16", "default"))
+guard(9, "yolov3_bf16_b256",
+      lambda: bench.measure_compute("yolov3", 416, 256, 10,
+                                    "bfloat16", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
