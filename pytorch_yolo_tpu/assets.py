@@ -19,6 +19,7 @@ yolov2.weights       203 934 260   YOLOv2-608 COCO weights
 yolov4.weights       257 717 640   YOLOv4-416 COCO weights (CSP+SPP+PAN)
 yolov4-tiny.weights   24 251 276   tiny-YOLOv4 COCO weights
 yolov4-csp.weights   211 944 840   Scaled-YOLOv4 CSP (size from our spec)
+yolov4x-mish.weights 388 143 080   Scaled-YOLOv4 CSP-X (size from our spec)
 yolov4-p5.weights    283 669 892   Scaled-YOLOv4 P5 (size from our spec)
 yolov4-p6.weights    514 118 356   Scaled-YOLOv4 P6 (size from our spec)
 instances_val2017.json     ~19 MB  COCO 2017 val annotations
@@ -54,6 +55,7 @@ EXPECTED_WEIGHTS = {
     # a real release file may land outside the band — the scanner still
     # reports it by name with header info for manual adoption.
     "yolov4-csp.weights": 211_944_840,
+    "yolov4x-mish.weights": 388_143_080,
     "yolov4-p5.weights": 283_669_892,
     "yolov4-p6.weights": 514_118_356,
 }

@@ -436,26 +436,35 @@ def yolov4_tiny_cfg(classes: int = 80, width: int = 416, height: int = 416) -> s
     return "\n".join(lines)
 
 
-def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> str:
-    """Scaled-YOLOv4 "YOLOv4-CSP" (arXiv 2011.08036): CSP-ized everything.
+def _csp_family_cfg(classes: int, width: int, height: int, *,
+                    wmul: float = 1.0,
+                    blocks: tuple[int, int, int, int] = (2, 8, 8, 4),
+                    n2: int = 2,
+                    pins: dict[str, int] | None = None) -> str:
+    """Shared generator for the Scaled-YOLOv4 CSP family
+    (:func:`yolov4_csp_cfg` and its width/depth-scaled
+    :func:`yolov4x_mish_cfg` variant) — arXiv 2011.08036.
 
     [B]-tier structure from the paper: CSPDarknet53 backbone whose FIRST
     stage is reverted to a plain Darknet residual (paper §4.2 — the CSP
-    split is not worth it at 64 channels); the SPP block and every PAN
-    5-conv block are CSP-ized (split -> two 1x1/3x3 bottlenecks -> partial
-    concat -> 1x1 transition, the paper's rCSP = the pytorch release's
-    ``BottleneckCSP2(n=2)``); mish activation over the WHOLE body (unlike
-    yolov4's leaky neck); the three head convs carry
+    split is not worth it at the narrowest stage); the SPP block and every
+    PAN 5-conv block are CSP-ized (split -> ``n2`` 1x1/3x3 bottlenecks ->
+    partial concat -> 1x1 transition, the paper's rCSP = the pytorch
+    release's ``BottleneckCSP2``); mish activation over the WHOLE body
+    (unlike yolov4's leaky neck); the three head convs carry
     ``activation=logistic`` and the ``[yolo]`` blocks set ``scale_x_y=2.0``
     + ``new_coords=1`` (pre-activated decode); anchors/masks are yolov4's.
-    Upstream default input is 512x512.
 
-    [C]-PINNED, pending re-verification against a real yolov4-csp.cfg /
-    .weights: the exact upstream layer indices and therefore weights-file
-    byte compatibility are NOT asserted (unlike :func:`yolov4_cfg`, whose
-    indices are pinned to upstream).  Internal arithmetic is asserted
-    instead (strides 8/16/32, channel math, CSP concat widths)."""
+    ``wmul`` scales every body conv width (rounded to a multiple of 8,
+    the release's ``make_divisible``); ``blocks`` lists the residual
+    counts of the four CSP stages (base channels 128/256/512/1024);
+    ``n2`` is the neck BottleneckCSP2 depth.  ``pins`` optionally asserts
+    upstream layer indices at the family's structural landmarks."""
     filters_out = 3 * (5 + classes)
+
+    def w(c: int) -> int:
+        return max(8, int(round(c * wmul / 8)) * 8)
+
     lines = _net(width, height)
     layer = -1
 
@@ -465,8 +474,13 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
         layer += n_layers
 
     def conv(f: int, size: int, stride: int = 1, act: str = "mish",
-             bn: bool = True) -> None:
-        emit(_conv(f, size, stride=stride, bn=bn, activation=act), 1)
+             bn: bool = True, scaled: bool = True) -> None:
+        emit(_conv(w(f) if scaled else f, size, stride=stride, bn=bn,
+                   activation=act), 1)
+
+    def pin(name: str) -> None:
+        if pins is not None:
+            assert layer == pins[name], (name, layer, pins[name])
 
     conv(32, 3)              # stem
     conv(64, 3, stride=2)    # downsample 1
@@ -476,7 +490,7 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
     assert layer == 4
 
     stage_ends: dict[int, int] = {}
-    for ch, n_blocks in ((128, 2), (256, 8), (512, 8), (1024, 4)):
+    for ch, n_blocks in zip((128, 256, 512, 1024), blocks):
         conv(ch, 3, stride=2)        # downsample
         conv(ch // 2, 1)             # cross-stage (right) branch
         split_idx = layer
@@ -490,21 +504,23 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
         emit([f"[route]", f"layers = -1, {split_idx}", ""], 1)  # CSP concat
         conv(ch, 1)                  # transition
         stage_ends[ch] = layer
-    assert stage_ends[256] == 48 and stage_ends[512] == 79, stage_ends
-    assert layer == 98, f"backbone should end at layer 98, got {layer}"
+    if pins is not None:
+        assert stage_ends[256] == pins["stage256"], stage_ends
+        assert stage_ends[512] == pins["stage512"], stage_ends
+    pin("backbone_end")
 
     def csp2(c: int, fuse_first: bool = True) -> None:
-        """CSP-ized 5-conv block (BottleneckCSP2, n=2): input -> 1x1 c,
-        then branch A = 1x1 c, branch B = (1x1 c, 3x3 c) x2, partial
-        concat (2c), 1x1 c transition.  9 layers."""
+        """CSP-ized 5-conv block (BottleneckCSP2, n=n2): input -> 1x1 c,
+        then branch A = 1x1 c, branch B = (1x1 c, 3x3 c) x n2, partial
+        concat (2c), 1x1 c transition."""
         if fuse_first:
             conv(c, 1)               # cv1: collapse the 2c concat to c
         conv(c, 1)                   # branch A (off cv1)
         emit(["[route]", "layers = -2", ""], 1)
-        for _ in range(2):           # branch B: two shortcut-free bottlenecks
+        for _ in range(n2):          # branch B: shortcut-free bottlenecks
             conv(c, 1)
             conv(c, 3)
-        emit(["[route]", "layers = -1, -6", ""], 1)   # A ++ B = 2c
+        emit([f"[route]", f"layers = -1, {-(2 * n2 + 2)}", ""], 1)  # A ++ B
         conv(c, 1)                   # cv3 transition
 
     # --- CSP-SPP at stride 32 (all mish) ---
@@ -517,23 +533,23 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
     emit(["[maxpool]", "size=9", "stride=1", ""], 1)
     emit(["[route]", "layers = -4", ""], 1)
     emit(["[maxpool]", "size=13", "stride=1", ""], 1)
-    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)   # 4x512 = 2048
+    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)   # 4x512(*wmul)
     conv(512, 1)
     conv(512, 3)
-    emit(["[route]", "layers = -1, -13", ""], 1)          # B ++ A = 1024
+    emit(["[route]", "layers = -1, -13", ""], 1)          # B ++ A
     conv(512, 1)
     neck13 = layer
-    assert neck13 == 113, neck13
+    pin("neck13")
 
     # --- PAN top-down: 13² -> 26² -> 52² ---
     conv(256, 1)
     emit(["[upsample]", "stride=2", ""], 1)
     emit([f"[route]", f"layers = {stage_ends[512]}", ""], 1)
     conv(256, 1)
-    emit(["[route]", "layers = -1, -3", ""], 1)           # 256 ++ 256
+    emit(["[route]", "layers = -1, -3", ""], 1)           # lateral concat
     csp2(256)
     neck26 = layer
-    assert neck26 == 127, neck26
+    pin("neck26")
     conv(128, 1)
     emit(["[upsample]", "stride=2", ""], 1)
     emit([f"[route]", f"layers = {stage_ends[256]}", ""], 1)
@@ -541,10 +557,10 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
     emit(["[route]", "layers = -1, -3", ""], 1)
     csp2(128)
     neck52 = layer
-    assert neck52 == 141, neck52
+    pin("neck52")
 
     def head(mask: str) -> None:
-        conv(filters_out, 1, act="logistic", bn=False)
+        conv(filters_out, 1, act="logistic", bn=False, scaled=False)
         emit(_yolo(mask, YOLOV4_ANCHORS, classes, 9, scale_x_y=2.0,
                    new_coords=True), 1)
 
@@ -553,19 +569,53 @@ def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> st
     head("0,1,2")                                          # stride 8
     emit([f"[route]", f"layers = {neck52}", ""], 1)
     conv(256, 3, stride=2)
-    emit([f"[route]", f"layers = -1, {neck26}", ""], 1)    # 256 ++ 256
+    emit([f"[route]", f"layers = -1, {neck26}", ""], 1)
     csp2(256)
     pan26 = layer
     conv(512, 3)
     head("3,4,5")                                          # stride 16
     emit([f"[route]", f"layers = {pan26}", ""], 1)
     conv(512, 3, stride=2)
-    emit([f"[route]", f"layers = -1, {neck13}", ""], 1)    # 512 ++ 512
+    emit([f"[route]", f"layers = -1, {neck13}", ""], 1)
     csp2(512)
     conv(1024, 3)
     head("6,7,8")                                          # stride 32
-    assert layer == 174, f"should end at layer 174, got {layer}"
+    pin("end")
     return "\n".join(lines)
+
+
+def yolov4_csp_cfg(classes: int = 80, width: int = 512, height: int = 512) -> str:
+    """Scaled-YOLOv4 "YOLOv4-CSP" (arXiv 2011.08036): CSP-ized everything.
+
+    Structure and rationale in :func:`_csp_family_cfg` (this is the
+    paper's base parameterization: ``BottleneckCSP2(n=2)`` neck, stage
+    blocks 2/8/8/4, no width scaling).  Upstream default input is 512x512.
+
+    [C]-PINNED, pending re-verification against a real yolov4-csp.cfg /
+    .weights: the exact upstream layer indices and therefore weights-file
+    byte compatibility are NOT asserted (unlike :func:`yolov4_cfg`, whose
+    indices are pinned to upstream).  Internal arithmetic is asserted
+    instead (strides 8/16/32, channel math, CSP concat widths; the
+    ``pins`` below are this generator's own landmark ledger)."""
+    return _csp_family_cfg(
+        classes, width, height, wmul=1.0, blocks=(2, 8, 8, 4), n2=2,
+        pins={"stage256": 48, "stage512": 79, "backbone_end": 98,
+              "neck13": 113, "neck26": 127, "neck52": 141, "end": 174})
+
+
+def yolov4x_mish_cfg(classes: int = 80, width: int = 640, height: int = 640) -> str:
+    """Scaled-YOLOv4 "YOLOv4x-mish" (the darknet release's CSP-X scaling
+    point): :func:`yolov4_csp_cfg` scaled by the family's standard
+    width x1.25 / depth x1.33 multipliers — stage blocks
+    round(1.33*(2,8,8,4)) = (3,11,11,5), neck ``BottleneckCSP2(n=3)``,
+    every body conv width x1.25 (stem 40, stages 160/320/640/1280).
+    Upstream default input is 640x640.
+
+    [C]-PINNED like yolov4-csp (upstream layer indices / .weights
+    byte-compat unverified against the release yolov4x-mish.cfg); the
+    generated topology's own param ledger is asserted in tests."""
+    return _csp_family_cfg(classes, width, height,
+                           wmul=1.25, blocks=(3, 11, 11, 5), n2=3)
 
 
 def _yolov4_large_cfg(classes: int, width: int, height: int,
@@ -725,6 +775,7 @@ _GENERATORS = {
     "yolov4": yolov4_cfg,
     "yolov4-tiny": yolov4_tiny_cfg,
     "yolov4-csp": yolov4_csp_cfg,
+    "yolov4x-mish": yolov4x_mish_cfg,
     "yolov4-p5": yolov4_p5_cfg,
     "yolov4-p6": yolov4_p6_cfg,
 }
@@ -739,8 +790,8 @@ def model_spec(name: str, classes: int = 80, width: int | None = None,
     """Build the named flagship model's :class:`ModelSpec` directly.
 
     ``width``/``height`` default to each generator's upstream net size
-    (416 for the v2/v3/v4 families, 512 for yolov4-csp, 896/1280 for
-    yolov4-p5/p6)."""
+    (416 for the v2/v3/v4 families, 512 for yolov4-csp, 640 for
+    yolov4x-mish, 896/1280 for yolov4-p5/p6)."""
     try:
         gen = _GENERATORS[name]
     except KeyError:

@@ -111,3 +111,16 @@ def test_matched_eval_pair_prefers_same_split(tmp_path):
     r2 = AssetReport(weights=[], annotations=["/x/instances_val2017.json"],
                      image_dirs=["/x/images"])
     assert r2.matched_eval_pair() == ("/x/instances_val2017.json", "/x/images")
+
+
+def test_expected_weights_sizes_match_zoo_specs():
+    """The Scaled-YOLOv4 dialect entries in EXPECTED_WEIGHTS are computed
+    from OUR generated specs (assets.py table note) — pin that derivation
+    so zoo topology drift can't silently desync the asset scanner."""
+    from pytorch_yolo_tpu.assets import EXPECTED_WEIGHTS
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import param_count
+
+    for name in ("yolov4-csp", "yolov4x-mish", "yolov4-p5", "yolov4-p6"):
+        expect = EXPECTED_WEIGHTS[name + ".weights"]
+        assert 20 + 4 * param_count(model_spec(name)) == expect, name

@@ -354,3 +354,37 @@ def test_yolov4_csp_zoo_structure():
     n = sum(c.size * c.size * c.in_channels * c.filters
             + c.filters * (4 if c.batch_normalize else 1) for c in convs)
     assert n == 52_986_205, n
+
+
+def test_yolov4x_mish_zoo_structure():
+    """Zoo yolov4x-mish: the CSP-X scaling point (width x1.25 / depth
+    x1.33 over yolov4-csp, BottleneckCSP2(n=3) neck).
+
+    No public param figure is pinned ([C]: the release cfg is unverifiable
+    offline) — the ledger asserts THIS generator's own topology so any
+    accidental structural drift is caught; scaling sanity is asserted
+    relationally against yolov4-csp instead (same strides/heads/dialect,
+    x1.25 widths, deeper stages)."""
+    from pytorch_yolo_tpu.config import ConvSpec
+    from pytorch_yolo_tpu.models.zoo import model_spec
+
+    spec = model_spec("yolov4x-mish")
+    csp = model_spec("yolov4-csp")
+    assert len(spec.layers) == 207          # csp 175 + 3*(9+2) deeper blocks
+    assert head_strides(spec) == (8, 16, 32)
+    assert spec.num_detections(640) == 25_200
+    for head in spec.yolo_layers:
+        assert head.new_coords is True and head.scale_x_y == 2.0
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    heads = [c for c in convs if c.activation == "logistic"]
+    assert len(heads) == 3 and all(not c.batch_normalize for c in heads)
+    assert all(c.activation == "mish" for c in convs if c not in heads)
+    # width scaling: every distinct body width is exactly 1.25x a csp width
+    csp_widths = {c.filters for c in csp.layers if isinstance(c, ConvSpec)
+                  if c.activation == "mish"}
+    for c in convs:
+        if c not in heads:
+            assert c.filters % 8 == 0 and c.filters / 1.25 in csp_widths, c
+    n = sum(c.size * c.size * c.in_channels * c.filters
+            + c.filters * (4 if c.batch_normalize else 1) for c in convs)
+    assert n == 97_035_765, n               # => 388,143,080-byte .weights
