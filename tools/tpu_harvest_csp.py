@@ -141,6 +141,12 @@ guard(7, "control_yolov3_bf16_b128",
 guard(8, "drift_csp", lambda: bench.measure_drift("yolov4-csp", 416,
                                                   n_imgs=2))
 
+# ---- 5. yolov4x-mish (CSP-X, 97M params): first hardware row --------------
+
+guard(9, "xmish_bf16_b32",
+      lambda: bench.measure_compute("yolov4x-mish", 416, 2 * B,
+                                    max(ITERS // 2, 5), "bfloat16", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
