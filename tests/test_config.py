@@ -310,3 +310,27 @@ def test_mish_activation_accepted_unknown_rejected():
     assert spec.layers[0].activation == "mish"
     with pytest.raises(ConfigError):
         build_spec(parse_cfg_text(txt.format(act="swish")))
+
+
+def test_every_zoo_model_builds_and_committed_cfgs_are_current():
+    """Whole-zoo smoke: every generator parses+builds, and the committed
+    cfg/<name>.cfg files are byte-current with their generators (a stale
+    committed cfg would silently ship a different topology than the zoo)."""
+    import os
+
+    from pytorch_yolo_tpu.models.zoo import _GENERATORS, available_models, model_spec
+    from pytorch_yolo_tpu.weights import param_count
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cfg")
+    for name in available_models():
+        spec = model_spec(name)
+        assert spec.layers and param_count(spec) > 0, name
+        strides = sorted({y.stride for y in spec.yolo_layers
+                          if hasattr(y, "stride")})  # RegionSpec (v2) has none
+        assert all(s in (8, 16, 32, 64) for s in strides), (name, strides)
+        committed = os.path.join(cfg_dir, f"{name}.cfg")
+        assert os.path.exists(committed), f"cfg/{name}.cfg not committed"
+        disk = open(committed).read().rstrip("\n")
+        assert disk == _GENERATORS[name](classes=80).rstrip("\n"), \
+            f"cfg/{name}.cfg is stale — regenerate with write_cfg({name!r}, ...)"
