@@ -222,6 +222,24 @@ def test_yolov4_p6_forward_parity():
         np.testing.assert_allclose(np.asarray(hj), ht_nhwc, rtol=1e-3, atol=1e-3)
 
 
+def test_yolov4x_mish_forward_parity():
+    """yolov4x-mish (CSP-X: x1.25 width / x1.33 depth over yolov4-csp) vs
+    oracle.  192² input offsets the ~2.3x FLOPs of the scaled body; the
+    deeper (n=3) neck CSP2 blocks and 1.25x channel ladder are exercised
+    end-to-end with logistic heads."""
+    spec, heads_jax, heads_torch = _run_both("yolov4x-mish", 192)
+    assert len(heads_jax) == 3
+    assert [h.shape[1] for h in heads_jax] == [24, 12, 6]
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        ours, theirs = np.asarray(hj), ht_nhwc
+        assert ours.min() >= 0.0 and ours.max() <= 1.0  # logistic heads
+        close = np.isclose(ours, theirs, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998, f"only {close.mean():.4%} within tight tol"
+        assert np.abs(ours - theirs).max() < 5e-2
+
+
 def test_mish_matches_torch_softplus_form():
     """apply_activation('mish') == x * tanh(softplus(x)) incl. extremes."""
     import torch
