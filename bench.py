@@ -439,9 +439,11 @@ def main() -> None:
                     help="also log a dtype/batch sweep table to stderr")
     ap.add_argument("--timeout", type=int, default=900,
                     help="watchdog seconds for the headline measurement")
-    ap.add_argument("--retries", type=int, default=2,
+    ap.add_argument("--retries", type=int, default=4,
                     help="re-exec attempts if the TPU is unavailable "
-                         "(0 = measure in-process)")
+                         "(0 = measure in-process).  4 retries x (900s "
+                         "child watchdog + 240s settle) rides out the "
+                         "multi-hour grant outages observed r3.")
     ap.add_argument("--retry-wait", type=int, default=240,
                     help="seconds between retry attempts")
     args = ap.parse_args()
