@@ -22,6 +22,7 @@ yolov4-csp.weights   211 944 840   Scaled-YOLOv4 CSP (size from our spec)
 yolov4x-mish.weights 388 143 080   Scaled-YOLOv4 CSP-X (size from our spec)
 yolov4-p5.weights    283 669 892   Scaled-YOLOv4 P5 (size from our spec)
 yolov4-p6.weights    514 118 356   Scaled-YOLOv4 P6 (size from our spec)
+yolov4-p7.weights  1 354 504 836   Scaled-YOLOv4 P7 (size from our spec)
 instances_val2017.json     ~19 MB  COCO 2017 val annotations
 val2017/                  5k jpgs  COCO 2017 val images
 ===================  ============  =======================================
@@ -58,6 +59,7 @@ EXPECTED_WEIGHTS = {
     "yolov4x-mish.weights": 388_143_080,
     "yolov4-p5.weights": 283_669_892,
     "yolov4-p6.weights": 514_118_356,
+    "yolov4-p7.weights": 1_354_504_836,
 }
 
 ANNOTATION_NAMES = ("instances_val2017.json", "instances_val2014.json")

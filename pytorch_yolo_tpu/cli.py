@@ -45,7 +45,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--reso", type=int, default=416,
                    help="network input resolution (reference trio 320/416/608;"
                         " must be a multiple of the model's deepest stride —"
-                        " 64 for yolov4-p6, 32 otherwise)")
+                        " 64 for yolov4-p6, 128 for yolov4-p7, 32 otherwise)")
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")

@@ -31,6 +31,12 @@ YOLOV4_P5_ANCHORS = ("13,17, 31,25, 24,51, 61,45, 48,102, 119,96, 97,189, "
 YOLOV4_P6_ANCHORS = ("13,17, 31,25, 24,51, 61,45, 61,45, 48,102, 119,96, "
                      "97,189, 97,189, 217,184, 171,384, 324,451, 324,451, "
                      "545,357, 616,618, 1024,1024")
+# P7 re-clusters for 1536x1536 and, like P6, shares anchors across adjacent
+# scales (136,138 serves P4+P5; 268,248 serves P5+P6).
+YOLOV4_P7_ANCHORS = ("13,17, 22,25, 27,66, 55,41, 57,88, 112,69, 69,177, "
+                     "136,138, 136,138, 287,114, 134,275, 268,248, 268,248, "
+                     "232,504, 445,416, 640,633, 812,393, 477,808, 1070,908, "
+                     "1408,1408")
 # YOLOv2 [region] anchors are in grid-cell units (upstream yolov2.cfg, COCO).
 YOLOV2_ANCHORS = ("0.57273,0.677385, 1.87446,2.06253, 3.33843,5.47434, "
                   "7.88282,3.52778, 9.77052,9.16828")
@@ -620,8 +626,9 @@ def yolov4x_mish_cfg(classes: int = 80, width: int = 640, height: int = 640) -> 
 
 def _yolov4_large_cfg(classes: int, width: int, height: int,
                       stages: tuple[tuple[int, int], ...],
-                      anchors: str, anchors_per_head: int) -> str:
-    """Shared generator for the Scaled-YOLOv4 "large" models (P5/P6).
+                      anchors: str, anchors_per_head: int,
+                      stem_width: int = 32, neck_cap: int = 512) -> str:
+    """Shared generator for the Scaled-YOLOv4 "large" models (P5/P6/P7).
 
     [B]-tier structure from the Scaled-YOLOv4 paper (arXiv 2011.08036,
     §4.3 + the yolov4-large release configs): a fully CSP-ized backbone
@@ -634,11 +641,13 @@ def _yolov4_large_cfg(classes: int, width: int, height: int,
     ``stages`` lists (channels, residual_blocks) per pyramid level P1..Ptop;
     heads sit at P3..Ptop (stride 8..2^len(stages)).  Width ladders, all
     arithmetic-derived rather than hand-coded: top-down neck width at
-    pyramid level k is ``min(512, 2^(k+4))`` (128/256/512 capped at the
-    CSP-SPP's 512); head + downsample conv widths equal the backbone
-    channels of their level; each bottom-up CSP2 runs at the width of the
-    level below.  These ladders reproduce the release configs' channel
-    arithmetic for both P5 and P6.
+    pyramid level k is ``min(neck_cap, 2^(k+4))`` (128/256/512... capped at
+    the CSP-SPP's width ``neck_cap``); head + downsample conv widths equal
+    the backbone channels of their level; each bottom-up CSP2 runs at the
+    width of the level below.  These ladders reproduce the release configs'
+    channel arithmetic for P5 and P6; P7 additionally widens the stem to 40
+    and the CSP-SPP/neck cap to 640 (its release applies a 1.25x width
+    multiple to the whole trunk).
 
     [C]-PINNED like :func:`yolov4_csp_cfg`: exact upstream layer indices
     (and therefore .weights byte compatibility) are NOT asserted; internal
@@ -665,7 +674,7 @@ def _yolov4_large_cfg(classes: int, width: int, height: int,
              bn: bool = True) -> None:
         emit(_conv(f, size, stride=stride, bn=bn, activation=act), 1)
 
-    conv(32, 3)                                     # stem
+    conv(stem_width, 3)                             # stem
     stage_ends: list[int] = []                      # transition conv per level
     for ch, n_blocks in stages:
         conv(ch, 3, stride=2)                       # downsample
@@ -695,26 +704,26 @@ def _yolov4_large_cfg(classes: int, width: int, height: int,
         emit([f"[route]", f"layers = -1, {-(2 * n + 2)}", ""], 1)
         conv(c, 1)
 
-    # --- CSP-SPP (512) on the top pyramid level, identical block to csp ---
-    conv(512, 1)                                    # branch A
+    # --- CSP-SPP (neck_cap wide) on the top pyramid level ---
+    conv(neck_cap, 1)                               # branch A
     emit(["[route]", "layers = -2", ""], 1)
-    for f, s in ((512, 1), (512, 3), (512, 1)):
+    for f, s in ((neck_cap, 1), (neck_cap, 3), (neck_cap, 1)):
         conv(f, s)                                  # branch B pre-SPP
     emit(["[maxpool]", "size=5", "stride=1", ""], 1)
     emit(["[route]", "layers = -2", ""], 1)
     emit(["[maxpool]", "size=9", "stride=1", ""], 1)
     emit(["[route]", "layers = -4", ""], 1)
     emit(["[maxpool]", "size=13", "stride=1", ""], 1)
-    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)  # 4x512
-    conv(512, 1)
-    conv(512, 3)
-    emit(["[route]", "layers = -1, -13", ""], 1)    # B ++ A = 1024
-    conv(512, 1)
+    emit(["[route]", "layers = -1, -3, -5, -6", ""], 1)  # 4x neck_cap
+    conv(neck_cap, 1)
+    conv(neck_cap, 3)
+    emit(["[route]", "layers = -1, -13", ""], 1)    # B ++ A = 2x neck_cap
+    conv(neck_cap, 1)
 
     # --- PAN top-down: Ptop-1 ... P3 ---
     neck_out = {head_levels[-1]: layer}             # level idx -> layer idx
     for lvl in range(n_levels - 2, 1, -1):          # P(top-1) down to P3
-        w = min(512, 2 ** (lvl + 5))                # 128/256/512... capped
+        w = min(neck_cap, 2 ** (lvl + 5))           # 128/256/512... capped
         conv(w, 1)
         emit(["[upsample]", "stride=2", ""], 1)
         emit([f"[route]", f"layers = {stage_ends[lvl]}", ""], 1)
@@ -766,6 +775,31 @@ def yolov4_p6_cfg(classes: int = 80, width: int = 1280, height: int = 1280) -> s
         anchors=YOLOV4_P6_ANCHORS, anchors_per_head=4)
 
 
+def yolov4_p7_cfg(classes: int = 80, width: int = 1536, height: int = 1536) -> str:
+    """Scaled-YOLOv4 **P7**: the deepest published scaling point — a 1.25x
+    width multiple over P6's backbone ladder (stem 40, stages 80/160/320/
+    640/960 plus two 1280-wide top stages), a stride-128 seventh pyramid
+    level, 20 anchors over 5 heads (strides 8/16/32/64/128), CSP-SPP/neck
+    cap 640, upstream default input 1536x1536 — input size must be
+    divisible by 128.
+
+    [C]-CAVEAT, stronger than P5/P6's: the release's exact neck/head width
+    ladder is unverifiable offline and this generator's documented
+    arithmetic (``min(neck_cap, 2^(k+4))`` top-down, backbone-width
+    bottom-up) yields 338.6M darknet-file floats where the recalled release
+    figure is ~287.75M — the release presumably narrows its bottom-up CSP2
+    blocks in a way we cannot reconstruct.  Like yolov4x-mish, the test
+    ledger pins THIS generator's own topology (structural-drift guard),
+    not a public figure; re-derive from the real config if the reference
+    mount ever populates (SURVEY.md §7)."""
+    return _yolov4_large_cfg(
+        classes, width, height,
+        stages=((80, 1), (160, 3), (320, 15), (640, 15), (960, 7),
+                (1280, 7), (1280, 7)),
+        anchors=YOLOV4_P7_ANCHORS, anchors_per_head=4,
+        stem_width=40, neck_cap=640)
+
+
 _GENERATORS = {
     "yolov3": yolov3_cfg,
     "yolov3-spp": yolov3_spp_cfg,
@@ -778,6 +812,7 @@ _GENERATORS = {
     "yolov4x-mish": yolov4x_mish_cfg,
     "yolov4-p5": yolov4_p5_cfg,
     "yolov4-p6": yolov4_p6_cfg,
+    "yolov4-p7": yolov4_p7_cfg,
 }
 
 
@@ -791,7 +826,7 @@ def model_spec(name: str, classes: int = 80, width: int | None = None,
 
     ``width``/``height`` default to each generator's upstream net size
     (416 for the v2/v3/v4 families, 512 for yolov4-csp, 640 for
-    yolov4x-mish, 896/1280 for yolov4-p5/p6)."""
+    yolov4x-mish, 896/1280/1536 for yolov4-p5/p6/p7)."""
     try:
         gen = _GENERATORS[name]
     except KeyError:

@@ -121,6 +121,7 @@ def test_expected_weights_sizes_match_zoo_specs():
     from pytorch_yolo_tpu.models.zoo import model_spec
     from pytorch_yolo_tpu.weights import param_count
 
-    for name in ("yolov4-csp", "yolov4x-mish", "yolov4-p5", "yolov4-p6"):
+    for name in ("yolov4-csp", "yolov4x-mish", "yolov4-p5", "yolov4-p6",
+                 "yolov4-p7"):
         expect = EXPECTED_WEIGHTS[name + ".weights"]
         assert 20 + 4 * param_count(model_spec(name)) == expect, name

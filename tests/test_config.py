@@ -328,7 +328,7 @@ def test_every_zoo_model_builds_and_committed_cfgs_are_current():
         assert spec.layers and param_count(spec) > 0, name
         strides = sorted({y.stride for y in spec.yolo_layers
                           if hasattr(y, "stride")})  # RegionSpec (v2) has none
-        assert all(s in (8, 16, 32, 64) for s in strides), (name, strides)
+        assert all(s in (8, 16, 32, 64, 128) for s in strides), (name, strides)
         committed = os.path.join(cfg_dir, f"{name}.cfg")
         assert os.path.exists(committed), f"cfg/{name}.cfg not committed"
         disk = open(committed).read().rstrip("\n")

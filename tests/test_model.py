@@ -222,6 +222,29 @@ def test_yolov4_p6_forward_parity():
         np.testing.assert_allclose(np.asarray(hj), ht_nhwc, rtol=1e-3, atol=1e-3)
 
 
+def test_yolov4_p7_forward_parity():
+    """Scaled-YOLOv4 P7: 7 pyramid levels, 1.25x width ladder (stem 40,
+    twin 1280-wide top stages), 5 heads at strides 8..128.  128² input is
+    the smallest legal size (%128) and keeps the 338M-param CPU run sane;
+    like P6, synthetic weights saturate the deep logistic heads so this
+    pins topology/layout/shapes (value-level decode parity lives in the
+    mini-cfg tests in test_new_coords.py)."""
+    spec, heads_jax, heads_torch = _run_both("yolov4-p7", 128)
+    assert len(heads_jax) == 5
+    assert [h.shape[1] for h in heads_jax] == [16, 8, 4, 2, 1]
+    assert all(h.shape[-1] == 4 * 85 for h in heads_jax)
+    for hj, ht in zip(heads_jax, heads_torch):
+        ht_nhwc = ht.transpose(0, 2, 3, 1)
+        assert hj.shape == ht_nhwc.shape
+        ours, theirs = np.asarray(hj), ht_nhwc
+        assert ours.min() >= 0.0 and ours.max() <= 1.0  # logistic heads
+        # the 365-layer trunk saturates the sigmoids to exact 0/1 under
+        # synthetic weights; fp32 drift can flip isolated near-threshold
+        # elements, so assert overwhelming (not bitwise) agreement
+        close = np.isclose(ours, theirs, rtol=1e-3, atol=1e-3)
+        assert close.mean() > 0.998, f"only {close.mean():.4%} within tight tol"
+
+
 def test_yolov4x_mish_forward_parity():
     """yolov4x-mish (CSP-X: x1.25 width / x1.33 depth over yolov4-csp) vs
     oracle.  192² input offsets the ~2.3x FLOPs of the scaled body; the

@@ -276,6 +276,30 @@ def test_mini_p6_stride64_end_to_end(tmp_path):
         det.detect(img, size=96)
 
 
+def test_mini_p7_stride128_end_to_end(tmp_path):
+    """Stride-128 head (yolov4-p7's seventh pyramid level) bytes-to-boxes,
+    plus the %128 input-size guard."""
+    import pytest
+
+    from pytorch_yolo_tpu.api import Detector
+
+    # one more stride-2 mish conv on top of the mini-P6 trunk -> stride 128
+    cfg_txt = MINI_P6_CFG.replace(
+        "[convolutional]\nfilters=340",
+        "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\nstride=2\n"
+        "pad=1\nactivation=mish\n\n[convolutional]\nfilters=340")
+    cfg = tmp_path / "mini-p7.cfg"
+    cfg.write_text(cfg_txt.replace("width=64", "width=128")
+                          .replace("height=64", "height=128"))
+    det = Detector.load(str(cfg))
+    assert head_strides(det.spec) == (128,)
+    img = np.random.default_rng(17).integers(0, 256, (96, 160, 3), dtype=np.uint8)
+    res = det.detect(img, size=128, conf=0.05)
+    assert np.isfinite(np.asarray(res.boxes, dtype=np.float32)).all()
+    with pytest.raises(ValueError, match="multiple of 128"):
+        det.detect(img, size=192)
+
+
 def test_mini_p6_forward_decode_parity_vs_oracle(tmp_path):
     """Value-level 4-anchor new_coords parity vs the torch oracle (the
     full P6 zoo model saturates its heads under synthetic weights, so the
@@ -312,6 +336,11 @@ def test_yolov4_large_zoo_structure():
     for name, layers, n_heads, strides, params, w, dets in (
         ("yolov4-p5", 243, 3, (8, 16, 32), 70_917_468, 896, 65_856),
         ("yolov4-p6", 304, 4, (8, 16, 32, 64), 128_529_584, 1280, 136_000),
+        # P7's ledger pins OUR generator arithmetic only (the release's
+        # ~287.75M neck/head ladder is unreconstructable offline — see the
+        # yolov4_p7_cfg docstring); P5/P6 match their release figures.
+        ("yolov4-p7", 365, 5, (8, 16, 32, 64, 128), 338_626_204, 1536,
+         196_416),
     ):
         spec = model_spec(name, width=w, height=w)
         assert len(spec.layers) == layers, (name, len(spec.layers))
