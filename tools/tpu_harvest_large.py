@@ -8,7 +8,9 @@ geometry (CPU-parity-tested in tests/test_new_coords.py):
   2. full-pipeline Pallas-vs-jnp A/B for yolov4-p5 (fp32, b4),
   3. compute-mode throughput: p5 @416 b32 + @896 b8; p6 @640 b8 (bf16),
   4. yolov3 bf16 b64 weather control (banked 1343.8 r3 / 1301 same-day),
-  5. p5 serving drift (bf16 vs fp32/HIGHEST).
+  5. p5 serving drift (bf16 vs fp32/HIGHEST),
+  6. yolov3 b192/b256 frontier rows,
+  7. yolov4-p7 first hardware rows (@640 b8 + native @1536 b1, bf16).
 
   python tools/tpu_harvest_large.py [--retries 5] [--timeout 2400] \
       [--out perf/large_r3.jsonl]
@@ -136,6 +138,18 @@ guard(8, "yolov3_bf16_b192",
                                     "bfloat16", "default"))
 guard(9, "yolov3_bf16_b256",
       lambda: bench.measure_compute("yolov3", 416, 256, 10,
+                                    "bfloat16", "default"))
+
+# ---- 6. yolov4-p7 (stride-128 head, %128 sizes): first hardware rows ------
+# 640 is the smallest productive %128 size (5x the deepest stride); the
+# native-1536 b1 row exercises the 192^2-spatial stride-8 head block in
+# Mosaic and the 338M-param bf16 body (~677 MB weights) in HBM.
+
+guard(10, "p7_bf16_640_b8",
+      lambda: bench.measure_compute("yolov4-p7", 640, 8, 10,
+                                    "bfloat16", "default"))
+guard(11, "p7_bf16_1536_b1",
+      lambda: bench.measure_compute("yolov4-p7", 1536, 1, 5,
                                     "bfloat16", "default"))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
