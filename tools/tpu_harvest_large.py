@@ -10,7 +10,9 @@ geometry (CPU-parity-tested in tests/test_new_coords.py):
   4. yolov3 bf16 b64 weather control (banked 1343.8 r3 / 1301 same-day),
   5. p5 serving drift (bf16 vs fp32/HIGHEST),
   6. yolov3 b192/b256 frontier rows,
-  7. yolov4-p7 first hardware rows (@640 b8 + native @1536 b1, bf16).
+  7. yolov4-p7 first hardware rows (@640 b8 + native @1536 b1, bf16),
+  8. v4-family early-skip int8sb A/B (mish stems default to quantize-all;
+     banked int8 rows lose to bf16 — does the stride<8 skip flip that?).
 
   python tools/tpu_harvest_large.py [--retries 5] [--timeout 2400] \
       [--out perf/large_r3.jsonl]
@@ -151,6 +153,24 @@ guard(10, "p7_bf16_640_b8",
 guard(11, "p7_bf16_1536_b1",
       lambda: bench.measure_compute("yolov4-p7", 1536, 1, 5,
                                     "bfloat16", "default"))
+
+# ---- 7. v4-family early-skip int8 A/B (never measured for mish stems) -----
+# _stem_pattern gates the early-skip default on leaky conv_conv stems, so
+# the v4 family serves int8 quantize-all-but-heads by default — and its
+# banked int8 rows LOSE to bf16 (v4 int8sb 998 vs bf16 1099, v4_family_r3).
+# The session-2 stage profile showed early large-spatial stages are slower
+# quantized regardless of family; test whether forcing stride<8 convs back
+# to bf16 lifts v4/csp int8 above bf16 (env read at Detector construction).
+
+def _earlyskip(model):
+    os.environ["PYTORCH_YOLO_INT8_EARLY_STRIDE"] = "8"
+    try:
+        return bench.measure_compute(model, 416, 64, 10, "int8sb", "default")
+    finally:
+        os.environ.pop("PYTORCH_YOLO_INT8_EARLY_STRIDE", None)
+
+guard(12, "v4_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4"))
+guard(13, "csp_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4-csp"))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
