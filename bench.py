@@ -439,12 +439,15 @@ def main() -> None:
                     help="also log a dtype/batch sweep table to stderr")
     ap.add_argument("--timeout", type=int, default=900,
                     help="watchdog seconds for the headline measurement")
-    ap.add_argument("--retries", type=int, default=4,
+    ap.add_argument("--retries", type=int, default=14,
                     help="re-exec attempts if the TPU is unavailable "
-                         "(0 = measure in-process).  4 retries x (900s "
-                         "child watchdog + 240s settle) rides out the "
-                         "multi-hour grant outages observed r3.")
-    ap.add_argument("--retry-wait", type=int, default=240,
+                         "(0 = measure in-process).  Outage children fail "
+                         "fast (~5s backend-init error) or hang until the "
+                         "900s child watchdog, so 14 retries x 300s settle "
+                         "gives ~1.2h (fast-fail) to ~4.7h (hang) of "
+                         "patience — sized to the 3.7h grant outage "
+                         "observed r3 (perf/csp_r3.jsonl.stderr).")
+    ap.add_argument("--retry-wait", type=int, default=300,
                     help="seconds between retry attempts")
     args = ap.parse_args()
 
