@@ -1,0 +1,71 @@
+"""Parent-side harvest scaffolding (tools/harvest_common.py).
+
+These tools run unattended against the single-tenant TPU for hours; the
+auto-resume arithmetic and the embedded child scripts must be correct
+BEFORE they burn an acquisition."""
+
+import ast
+import pathlib
+import re
+import sys
+
+TOOLS = pathlib.Path(__file__).resolve().parents[1] / "tools"
+sys.path.insert(0, str(TOOLS))
+
+from harvest_common import banked_skip_to  # noqa: E402
+
+
+def _write(tmp_path, lines):
+    p = tmp_path / "out.jsonl"
+    p.write_text("".join(line + "\n" for line in lines))
+    return str(p)
+
+
+def test_skip_to_missing_and_empty(tmp_path):
+    assert banked_skip_to(str(tmp_path / "nope.jsonl")) == 0
+    assert banked_skip_to(_write(tmp_path, [])) == 1
+
+
+def test_skip_to_contiguous_banked_rows(tmp_path):
+    out = _write(tmp_path, [
+        '{"step": "devices", "devices": "[TPU]"}',
+        '{"step": "a", "step_id": 1, "seconds": 3.0, "result": 1.5}',
+        '{"step": "b", "step_id": 2, "seconds": 9.0, "result": {"x": 1}}',
+    ])
+    assert banked_skip_to(out) == 3
+
+
+def test_skip_to_stops_at_hole(tmp_path):
+    # step 2 errored (no "result") but 3 banked: resume at the hole, not
+    # past it — guard() must re-run the failed step.
+    out = _write(tmp_path, [
+        '{"step": "a", "step_id": 1, "result": 1.0}',
+        '{"step": "b", "step_id": 2, "error": "UNAVAILABLE"}',
+        '{"step": "c", "step_id": 3, "result": 2.0}',
+        'not json at all',
+    ])
+    assert banked_skip_to(out) == 2
+
+
+def test_skip_to_ignores_skipped_markers(tmp_path):
+    # a resumed child re-emits {"skipped": true} rows — they are not
+    # measurements and must not advance the resume point on their own.
+    out = _write(tmp_path, [
+        '{"step": "a", "step_id": 1, "skipped": true}',
+        '{"step": "b", "step_id": 2, "result": 7.0}',
+    ])
+    assert banked_skip_to(out) == 1
+
+
+def test_every_harvest_child_script_parses():
+    """The CHILD payloads are code-in-a-string; a typo only surfaces after
+    a (possibly hours-long) acquisition wait.  Parse them all statically."""
+    checked = 0
+    for tool in sorted(TOOLS.glob("tpu_harvest*.py")):
+        src = tool.read_text()
+        m = re.search(r'CHILD = r"""(.*?)"""', src, re.S)
+        if m is None:
+            continue
+        ast.parse(m.group(1))  # raises SyntaxError on a broken child
+        checked += 1
+    assert checked >= 2  # csp + large at minimum

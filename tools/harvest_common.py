@@ -1,0 +1,115 @@
+"""Shared parent-process scaffolding for the one-acquisition TPU harvests.
+
+Every harvest tool in this directory is a patient PARENT that re-execs a
+measurement CHILD (a self-contained ``python -c`` script emitting one JSON
+row per step) until the child reaches its ``{"step": "done"}`` sentinel.
+The single-tenant landmines (CLAUDE.md) shape everything here:
+
+* ONE process, never probe/kill — a killed client poisons the next grant
+  acquisition for many minutes;
+* per-attempt watchdog (``--timeout``) bounds PJRT init/compile hangs;
+* attempts re-exec a FRESH interpreter (jax caches a failed backend init
+  in-process);
+* **auto-resume**: before each attempt the parent counts the contiguously
+  banked ``step_id`` rows already in the out file and sets
+  ``HARVEST_SKIP_TO`` so a retried child skips straight past them (the
+  persistent XLA compile cache makes the skipped compiles cheap, but the
+  measurements themselves — minutes each — are not re-paid).  An explicit
+  ``HARVEST_SKIP_TO`` in the launch environment wins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+
+def banked_skip_to(out_path: str) -> int:
+    """1 + the highest step_id reachable through contiguously banked rows.
+
+    A row counts as banked when it carries a ``result`` (measurement
+    landed).  Contiguity matters: if step 3 errored but step 4 banked, we
+    resume at 3 (guard() re-runs it) rather than silently skipping a hole.
+    """
+    if not os.path.exists(out_path):
+        return 0
+    banked: set[int] = set()
+    with open(out_path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(row, dict) and "result" in row and "step_id" in row:
+                banked.add(int(row["step_id"]))
+    n = 1
+    while n in banked:
+        n += 1
+    return n
+
+
+def run_once(child_src: str, args) -> tuple[int, bool]:
+    """One child attempt: stream rows to stdout + the out file, watchdogged."""
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    if "HARVEST_SKIP_TO" not in os.environ:
+        skip = banked_skip_to(args.out)
+        if skip > 1:
+            print(f"auto-resume: {skip - 1} step(s) banked in {args.out}, "
+                  f"HARVEST_SKIP_TO={skip}", file=sys.stderr)
+        env["HARVEST_SKIP_TO"] = str(skip)
+    done = False
+    with open(args.out, "a") as sink, \
+            open(args.out + ".stderr", "a") as err_sink:
+        proc = subprocess.Popen([sys.executable, "-u", "-c", child_src],
+                                stdout=subprocess.PIPE,
+                                stderr=err_sink,
+                                text=True, env=env, cwd=repo)
+        timer = threading.Timer(args.timeout, proc.kill)
+        timer.daemon = True
+        timer.start()
+        try:
+            for line in proc.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                sink.write(line)
+                sink.flush()
+                if '"step": "done"' in line:
+                    done = True
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        finally:
+            timer.cancel()
+    if proc.returncode not in (0,):
+        print(f"child exited rc={proc.returncode}", file=sys.stderr)
+    return (0 if proc.returncode == 0 else 2), done
+
+
+def harvest_main(child_src: str, default_out: str,
+                 default_retries: int = 5, default_retry_wait: int = 120,
+                 default_timeout: int = 2400) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--retries", type=int, default=default_retries)
+    ap.add_argument("--retry-wait", type=int, default=default_retry_wait)
+    ap.add_argument("--timeout", type=int, default=default_timeout)
+    ap.add_argument("--out", default=default_out)
+    args = ap.parse_args()
+
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
+                  file=sys.stderr)
+            time.sleep(args.retry_wait)
+        rc, done = run_once(child_src, args)
+        if done:
+            return 0
+        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
+              file=sys.stderr)
+    return 1
