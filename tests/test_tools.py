@@ -22,14 +22,21 @@ def _embedded_source(path: str, var: str) -> str:
     raise AssertionError(f"{var} not found in {path}")
 
 
-def test_harvest_child_parses():
-    src = _embedded_source("tools/tpu_harvest.py", "CHILD")
-    ast.parse(src)  # syntax
-    # every guard() step id is unique and ordered (SKIP_TO resume contract)
-    ids = [int(n.args[0].value) for n in ast.walk(ast.parse(src))
-           if isinstance(n, ast.Call) and getattr(n.func, "id", "") == "guard"]
-    assert ids == sorted(ids), "harvest step ids must be ordered"
-    assert len(ids) == len(set(ids)), "harvest step ids must be unique"
+def test_every_harvest_child_parses():
+    """All tpu_harvest*.py children: syntax + the SKIP_TO resume contract
+    (guard() step ids unique and ordered)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "tools", "tpu_harvest*.py")))
+    assert len(paths) >= 5
+    for path in paths:
+        rel = os.path.relpath(path, REPO)
+        src = _embedded_source(rel, "CHILD")
+        ast.parse(src)  # syntax
+        ids = [int(n.args[0].value) for n in ast.walk(ast.parse(src))
+               if isinstance(n, ast.Call) and getattr(n.func, "id", "") == "guard"]
+        assert ids == sorted(ids), f"{rel}: step ids must be ordered"
+        assert len(ids) == len(set(ids)), f"{rel}: step ids must be unique"
 
 
 def test_bisect_probe_parses():
@@ -58,13 +65,3 @@ def test_bisect_harness_runs_one_probe_cpu():
     finally:
         if os.path.exists(out):
             os.remove(out)
-
-
-def test_csp_and_large_harvest_children_parse():
-    for path in ("tools/tpu_harvest_csp.py", "tools/tpu_harvest_large.py"):
-        src = _embedded_source(path, "CHILD")
-        ast.parse(src)
-        ids = [int(n.args[0].value) for n in ast.walk(ast.parse(src))
-               if isinstance(n, ast.Call) and getattr(n.func, "id", "") == "guard"]
-        assert ids == sorted(ids), f"{path}: step ids must be ordered"
-        assert len(ids) == len(set(ids)), f"{path}: step ids must be unique"
