@@ -235,14 +235,25 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
 
 def measure_compute(model: str, size: int, batch: int, iters: int,
                     compute_dtype: str, precision: str,
-                    max_det: int = 300) -> float:
+                    max_det: int = 300, chain: int = 1) -> float:
     """On-chip pipeline throughput with device-resident input (no H2D).
 
     Isolates what the chip can actually do (letterbox+forward+decode+NMS)
     from the container's tunnel link, which measure_h2d shows is ~0.05 GB/s
     — on a production v5e host the PCIe/DMA link is ~3 orders of magnitude
-    faster, so this number is the deployment-relevant throughput bound."""
+    faster, so this number is the deployment-relevant throughput bound.
+
+    ``chain=K`` runs K pipeline iterations per dispatch inside one
+    ``lax.fori_loop`` (the stage-micro methodology, PERF.md r3): this
+    container's remote-PJRT tunnel adds a measured ~8.6 ms *per call*
+    (additive, ~20%% of a b64 bf16 batch) that a production host does not
+    pay; chaining amortizes it to ~nothing.  The loop body perturbs the
+    input with the iteration index and folds every iteration's output into
+    a scalar carry, so XLA can neither hoist the body as loop-invariant
+    nor dead-code any stage."""
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     from pytorch_yolo_tpu.api import _PipelineKey
 
@@ -253,16 +264,29 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,
                        conf=0.6, iou=0.45, max_det=max_det, bgr=True)
     fn = det._pipeline(key)
-    np.asarray(fn(det.params, dev_imgs).boxes)  # compile + warm
+    if chain > 1:
+        @jax.jit
+        def chained(params, x):
+            def body(i, acc):
+                res = fn(params, x + i.astype(x.dtype))
+                return (acc + res.boxes[0, 0, 0]
+                        + res.valid.astype(jnp.float32).sum())
+            return lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+        run, fetch = (lambda: chained(det.params, dev_imgs)), np.asarray
+    else:
+        run, fetch = (lambda: fn(det.params, dev_imgs)), \
+            (lambda r: np.asarray(r.boxes))
+    fetch(run())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = fn(det.params, dev_imgs)
-    np.asarray(res.boxes)
+        res = run()
+    fetch(res)
     dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    ips = batch * iters * chain / dt
     log(f"{model}@{size} ON-CHIP (device-resident input) batch={batch} "
-        f"dtype={dtype_label}/{precision} max_det={max_det}: "
-        f"{ips:.1f} img/s ({dt / iters * 1e3:.2f} ms/batch)")
+        f"dtype={dtype_label}/{precision} max_det={max_det} chain={chain}: "
+        f"{ips:.1f} img/s ({dt / iters / chain * 1e3:.2f} ms/batch)")
     return ips
 
 
@@ -427,6 +451,12 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="compute mode: pipeline iterations per dispatch "
+                         "(lax.fori_loop).  >1 cancels the tunnel's ~8.6 ms "
+                         "per-call dispatch floor (PERF.md r3); the metric "
+                         "string discloses it.  Default 1 until the "
+                         "chain-vs-unchained hardware A/B is banked.")
     ap.add_argument("--mode", default="compute",
                     choices=("batch", "pipelined", "compute"),
                     help="batch: raw-frame device-letterbox e2e; pipelined: "
@@ -460,6 +490,8 @@ def main() -> None:
         "pipelined": f"end-to-end bytes-to-boxes, pipelined {args.transfer} transfer",
         "compute": "on-chip pipeline, device-resident input",
     }[args.mode]
+    if args.mode == "compute" and args.chain > 1:
+        mode_label += f", chained x{args.chain} dispatch"
     fallback = {
         "metric": f"images/sec/chip ({args.model} @{args.size}, {mode_label}, "
                   f"{args.dtype}/{args.precision}, backend=unavailable)",
@@ -522,7 +554,8 @@ def main() -> None:
                                         transfer=args.transfer)
         elif args.mode == "compute":
             ips = measure_compute(args.model, args.size, args.batch,
-                                  args.iters, args.dtype, args.precision)
+                                  args.iters, args.dtype, args.precision,
+                                  chain=args.chain)
         else:
             ips = measure_tpu(args.model, args.size, args.batch, args.iters,
                               args.warmup, args.dtype, args.precision)
