@@ -253,3 +253,31 @@ def test_stride64_4anchor_on_mesh_matches_single(mesh, tmp_path):
         assert len(a) == len(b)
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
         np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_stride128_p7_head_on_mesh_matches_single(mesh, tmp_path):
+    """yolov4-p7's seventh pyramid level (stride-128 head) under GSPMD
+    batch sharding == single device, at the smallest legal input (%128).
+    Mini cfg derived exactly as test_mini_p7_stride128_end_to_end does."""
+    from tests.test_new_coords import MINI_P6_CFG
+
+    cfg_txt = MINI_P6_CFG.replace(
+        "[convolutional]\nfilters=340",
+        "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=3\nstride=2\n"
+        "pad=1\nactivation=mish\n\n[convolutional]\nfilters=340")
+    cfg = tmp_path / "mini-p7.cfg"
+    cfg.write_text(cfg_txt.replace("width=64", "width=128")
+                          .replace("height=64", "height=128"))
+    det_single = pyt.Detector.load(str(cfg))
+    det_mesh = pyt.Detector(det_single.spec,
+                            jax.tree_util.tree_map(np.asarray, det_single.params),
+                            mesh=mesh)
+    imgs = np.random.default_rng(23).integers(
+        0, 256, size=(8, 96, 160, 3), dtype=np.uint8)
+    r_single = det_single.detect_batch(imgs, size=128, conf=0.05)
+    r_mesh = det_mesh.detect_batch(imgs, size=128, conf=0.05)
+    assert len(r_single) == len(r_mesh) == 8
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(a.cls_id, b.cls_id)
