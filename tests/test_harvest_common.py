@@ -53,3 +53,18 @@ def test_skip_to_ignores_skipped_markers(tmp_path):
         '{"step": "b", "step_id": 2, "result": 7.0}',
     ])
     assert banked_skip_to(out) == 1
+
+
+def test_stop_file_drains_before_any_attempt(tmp_path, monkeypatch, capsys):
+    """HARVEST_STOP_FILE present => parent exits rc=3 without spawning a
+    child (the round-end-bench drain path; must never kill mid-attempt)."""
+    from harvest_common import harvest_main
+
+    stop = tmp_path / "stop"
+    stop.write_text("")
+    monkeypatch.setenv("HARVEST_STOP_FILE", str(stop))
+    out = tmp_path / "rows.jsonl"
+    monkeypatch.setattr(sys, "argv", ["x", "--out", str(out), "--retries", "2"])
+    rc = harvest_main("raise SystemExit(99)  # must never run", str(out))
+    assert rc == 3
+    assert not out.exists() or out.read_text() == ""

@@ -102,7 +102,15 @@ def harvest_main(child_src: str, default_out: str,
     ap.add_argument("--out", default=default_out)
     args = ap.parse_args()
 
+    stop_file = os.environ.get("HARVEST_STOP_FILE", "/tmp/harvest_stop")
     for attempt in range(args.retries + 1):
+        if os.path.exists(stop_file):
+            # Graceful drain: the driver's round-end bench needs the
+            # single-tenant TPU — touch the stop file and the parent quits
+            # BETWEEN attempts (never mid-acquisition, which would poison
+            # the next grant).
+            print(f"stop file {stop_file} present — draining", file=sys.stderr)
+            return 3
         if attempt:
             print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
                   file=sys.stderr)
