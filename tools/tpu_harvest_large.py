@@ -169,6 +169,29 @@ def _earlyskip(model):
 guard(12, "v4_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4"))
 guard(13, "csp_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4-csp"))
 
+# ---- 8. chained-dispatch A/B (bench --chain): does fori_loop-chaining the
+# whole pipeline cancel the measured ~8.6 ms/call tunnel floor, and does it
+# reproduce the floor-free projection (b64 bf16 ~1490, PERF.md r3)?  Gates
+# flipping the bench headline default to chained dispatch.
+
+guard(14, "yolov3_bf16_b64_chain1",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "bfloat16", "default"))
+guard(15, "yolov3_bf16_b64_chain8",
+      lambda: bench.measure_compute("yolov3", 416, 64, 5,
+                                    "bfloat16", "default", chain=8))
+guard(16, "yolov3_bf16_b128_chain8",
+      lambda: bench.measure_compute("yolov3", 416, 128, 5,
+                                    "bfloat16", "default", chain=8))
+guard(17, "yolov3_int8sb_b128_chain8",
+      lambda: bench.measure_compute("yolov3", 416, 128, 5,
+                                    "int8sb", "default", chain=8))
+
+# native-resolution completion: p5@896 (step 4) + p6@1280 + p7@1536 (step 11)
+guard(18, "p6_bf16_1280_b2",
+      lambda: bench.measure_compute("yolov4-p6", 1280, 2, 5,
+                                    "bfloat16", "default"))
+
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
