@@ -59,3 +59,29 @@ def test_chain_rejects_nothing_but_counts_iterations(monkeypatch):
                                 "float32", "default")
     assert ips == pytest.approx(4 * 3 / 1.0)
     assert calls["n"] == 4  # 1 warm + 3 timed iterations
+
+
+def test_bench_cli_emits_one_json_contract_line(tmp_path):
+    """Full driver path: `python bench.py` must print exactly one JSON
+    object on stdout with the metric/value/unit/vs_baseline keys
+    (BENCH_r{N}.json is parsed from it verbatim)."""
+    import json
+    import os
+    import subprocess
+
+    repo = __file__.rsplit("/", 2)[0]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"),
+         "--model", "yolov3-tiny", "--size", "128", "--batch", "1",
+         "--iters", "1", "--retries", "0", "--skip-cpu-baseline",
+         "--mode", "compute", "--chain", "2"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert set(payload) >= {"metric", "value", "unit", "vs_baseline"}
+    assert payload["unit"] == "images/sec"
+    assert payload["value"] > 0
+    assert "chained x2 dispatch" in payload["metric"]  # disclosure intact
