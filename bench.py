@@ -246,7 +246,7 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     ``chain=K`` runs K pipeline iterations per dispatch inside one
     ``lax.fori_loop`` (the stage-micro methodology, PERF.md r3): this
     container's remote-PJRT tunnel adds a measured ~8.6 ms *per call*
-    (additive, ~20%% of a b64 bf16 batch) that a production host does not
+    (additive, ~20% of a b64 bf16 batch) that a production host does not
     pay; chaining amortizes it to ~nothing.  The loop body perturbs the
     input with the iteration index and folds every iteration's output into
     a scalar carry, so XLA can neither hoist the body as loop-invariant
@@ -257,6 +257,8 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
 
     from pytorch_yolo_tpu.api import _PipelineKey
 
+    if chain < 1:
+        raise ValueError(f"chain must be >= 1, got {chain}")
     rng = np.random.default_rng(0)
     det, dtype_label = _load_detector(model, compute_dtype, precision, rng)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
@@ -467,19 +469,27 @@ def main() -> None:
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="also log a dtype/batch sweep table to stderr")
-    ap.add_argument("--timeout", type=int, default=900,
-                    help="watchdog seconds for the headline measurement")
+    ap.add_argument("--timeout", type=int, default=1500,
+                    help="watchdog seconds for the headline measurement.  "
+                         "Sized ABOVE the ~20 min natural PJRT-init "
+                         "failure observed during grant outages so the "
+                         "watchdog never hard-kills a child that is "
+                         "waiting in acquisition (a killed waiter poisons "
+                         "the single-tenant queue — CLAUDE.md); outage "
+                         "children die on their own first.")
     ap.add_argument("--retries", type=int, default=14,
                     help="re-exec attempts if the TPU is unavailable "
                          "(0 = measure in-process).  Outage children fail "
-                         "fast (~5s backend-init error) or hang until the "
-                         "900s child watchdog, so 14 retries x 300s settle "
-                         "gives ~1.2h (fast-fail) to ~4.7h (hang) of "
-                         "patience — sized to the 3.7h grant outage "
-                         "observed r3 (perf/csp_r3.jsonl.stderr).")
+                         "fast (~5s backend-init error) or time out of "
+                         "PJRT init naturally in ~20 min, so 14 retries "
+                         "x 300s settle gives ~1.2h (fast-fail) to ~6h "
+                         "(init-timeout) of patience — sized to the >5h "
+                         "grant outage observed r3 session 4.")
     ap.add_argument("--retry-wait", type=int, default=300,
                     help="seconds between retry attempts")
     args = ap.parse_args()
+    if args.chain < 1:
+        ap.error(f"--chain must be >= 1, got {args.chain}")  # before any retry
 
     if args.retries > 0:
         _run_with_retries(args, sys.argv[1:])

@@ -68,3 +68,22 @@ def test_stop_file_drains_before_any_attempt(tmp_path, monkeypatch, capsys):
     rc = harvest_main("raise SystemExit(99)  # must never run", str(out))
     assert rc == 3
     assert not out.exists() or out.read_text() == ""
+
+
+def test_skip_to_with_declared_ids_tolerates_retired_gaps(tmp_path):
+    """tpu_harvest.py retired step 26 (ids jump 25 -> 27): with the child's
+    declared id list, a fully-banked file resumes past the end instead of
+    stalling at the permanent gap and re-running hours of banked steps."""
+    from harvest_common import banked_skip_to, child_step_ids
+
+    out = _write(tmp_path, [
+        '{"step": "a", "step_id": 1, "result": 1.0}',
+        '{"step": "b", "step_id": 2, "result": 1.0}',
+        '{"step": "d", "step_id": 4, "result": 1.0}',
+    ])
+    ids = [1, 2, 4]            # 3 retired
+    assert banked_skip_to(out, ids) == 5        # all banked => skip all
+    assert banked_skip_to(out, [1, 2, 4, 6]) == 6  # 6 unbanked => run it
+    # declared ids parse straight from a CHILD payload
+    src = "guard(1, 'a', f)\nguard(2, 'b', f)\nguard(4, 'd', f)\n"
+    assert child_step_ids(src) == [1, 2, 4]

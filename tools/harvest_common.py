@@ -29,13 +29,29 @@ import threading
 import time
 
 
-def banked_skip_to(out_path: str) -> int:
-    """1 + the highest step_id reachable through contiguously banked rows.
+def child_step_ids(child_src: str) -> list[int]:
+    """The ordered guard() step ids declared in a CHILD payload script.
+
+    Parsed from the source so the parent's resume arithmetic tracks the
+    child's REAL step list — ids are unique and ordered (CI-enforced,
+    tests/test_tools.py) but not necessarily contiguous (retired steps
+    leave gaps, e.g. tpu_harvest.py's step 26)."""
+    import ast
+
+    ids = [int(n.args[0].value) for n in ast.walk(ast.parse(child_src))
+           if isinstance(n, ast.Call)
+           and getattr(n.func, "id", "") == "guard"]
+    return ids
+
+
+def banked_skip_to(out_path: str, step_ids: "list[int] | None" = None) -> int:
+    """The resume point: skip every banked step up to the first unbanked one.
 
     A row counts as banked when it carries a ``result`` (measurement
-    landed).  Contiguity matters: if step 3 errored but step 4 banked, we
-    resume at 3 (guard() re-runs it) rather than silently skipping a hole.
-    """
+    landed).  If step 3 errored but step 4 banked, we resume at 3
+    (guard() re-runs it) rather than silently skipping a hole; with
+    ``step_ids`` (the child's declared guard ids) a *retired* id that no
+    longer exists in the child is not treated as a hole."""
     if not os.path.exists(out_path):
         return 0
     banked: set[int] = set()
@@ -47,6 +63,11 @@ def banked_skip_to(out_path: str) -> int:
                 continue
             if isinstance(row, dict) and "result" in row and "step_id" in row:
                 banked.add(int(row["step_id"]))
+    if step_ids:
+        for sid in sorted(step_ids):
+            if sid not in banked:
+                return sid
+        return max(step_ids) + 1
     n = 1
     while n in banked:
         n += 1
@@ -59,7 +80,11 @@ def run_once(child_src: str, args) -> tuple[int, bool]:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     if "HARVEST_SKIP_TO" not in os.environ:
-        skip = banked_skip_to(args.out)
+        try:
+            ids = child_step_ids(child_src)
+        except SyntaxError:
+            ids = None
+        skip = banked_skip_to(args.out, ids)
         if skip > 1:
             print(f"auto-resume: {skip - 1} step(s) banked in {args.out}, "
                   f"HARVEST_SKIP_TO={skip}", file=sys.stderr)
@@ -109,7 +134,8 @@ def harvest_main(child_src: str, default_out: str,
             # single-tenant TPU — touch the stop file and the parent quits
             # BETWEEN attempts (never mid-acquisition, which would poison
             # the next grant).
-            print(f"stop file {stop_file} present — draining", file=sys.stderr)
+            print(f"stop file {stop_file} present — draining (delete the "
+                  "file to re-enable harvest runs)", file=sys.stderr)
             return 3
         if attempt:
             print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",

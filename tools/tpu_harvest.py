@@ -22,11 +22,8 @@ Parent exit: 0 if the child reached "done", else non-zero.
 
 from __future__ import annotations
 
-import argparse
 import os
-import subprocess
 import sys
-import time
 
 CHILD = r"""
 import json, os, time
@@ -630,63 +627,11 @@ emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
 
-def run_once(args) -> tuple[int, bool]:
-    env = dict(os.environ)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    done = False
-    with open(args.out, "a") as sink, \
-            open(args.out + ".stderr", "a") as err_sink:
-        proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
-                                stdout=subprocess.PIPE,
-                                stderr=err_sink,
-                                text=True, env=env, cwd=repo)
-        # hard watchdog: a silent hang produces no lines, so the reader loop
-        # alone can't enforce the bound
-        import threading
-
-        timer = threading.Timer(args.timeout, proc.kill)
-        timer.daemon = True
-        timer.start()
-        try:
-            for line in proc.stdout:
-                sys.stdout.write(line)
-                sys.stdout.flush()
-                sink.write(line)
-                sink.flush()
-                if '"step": "done"' in line:
-                    done = True
-            proc.wait(timeout=30)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-        finally:
-            timer.cancel()
-    if proc.returncode not in (0,):
-        print(f"child exited rc={proc.returncode}", file=sys.stderr)
-    return (0 if proc.returncode == 0 else 2), done
-
-
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--retries", type=int, default=8)
-    ap.add_argument("--retry-wait", type=int, default=120)
-    ap.add_argument("--timeout", type=int, default=1500,
-                    help="per-attempt bound; compile cache makes retries cheap")
-    ap.add_argument("--out", default="/tmp/tpu_harvest.jsonl")
-    args = ap.parse_args()
-
-    for attempt in range(args.retries + 1):
-        if attempt:
-            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
-                  file=sys.stderr)
-            time.sleep(args.retry_wait)
-        rc, done = run_once(args)
-        if done:
-            return 0
-        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
-              file=sys.stderr)
-    return 1
-
-
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from harvest_common import harvest_main
+
+    raise SystemExit(harvest_main(CHILD, "/tmp/tpu_harvest.jsonl",
+                                  default_retries=8,
+                                  default_retry_wait=120,
+                                  default_timeout=1500))

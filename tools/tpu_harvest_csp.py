@@ -12,7 +12,7 @@ CPU; this child banks the hardware evidence:
      default (banked: 1343.8 b64 / 1397 b128),
   5. serving drift (bf16 / int8 modes) vs fp32/HIGHEST.
 
-  python tools/tpu_harvest_csp.py [--retries 5] [--timeout 2400] \
+  python tools/tpu_harvest_csp.py [--retries 5] [--timeout 3600] \
       [--out perf/csp_r3.jsonl]
 
 Resume: HARVEST_SKIP_TO=<step> skips banked steps (persistent XLA compile

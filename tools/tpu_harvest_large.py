@@ -14,7 +14,7 @@ geometry (CPU-parity-tested in tests/test_new_coords.py):
   8. v4-family early-skip int8sb A/B (mish stems default to quantize-all;
      banked int8 rows lose to bf16 — does the stride<8 skip flip that?).
 
-  python tools/tpu_harvest_large.py [--retries 5] [--timeout 2400] \
+  python tools/tpu_harvest_large.py [--retries 5] [--timeout 7200] \
       [--out perf/large_r3.jsonl]
 
 Resume: HARVEST_SKIP_TO=<step> skips banked steps.  Single-tenant

@@ -20,11 +20,8 @@ apply: ONE patient process, never probe/kill (CLAUDE.md).
 
 from __future__ import annotations
 
-import argparse
 import os
-import subprocess
 import sys
-import time
 
 CHILD = r"""
 import json, os, time
@@ -152,60 +149,11 @@ emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
 
 
-def run_once(args) -> tuple[int, bool]:
-    env = dict(os.environ)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    done = False
-    with open(args.out, "a") as sink, \
-            open(args.out + ".stderr", "a") as err_sink:
-        proc = subprocess.Popen([sys.executable, "-u", "-c", CHILD],
-                                stdout=subprocess.PIPE,
-                                stderr=err_sink,
-                                text=True, env=env, cwd=repo)
-        import threading
-
-        timer = threading.Timer(args.timeout, proc.kill)
-        timer.daemon = True
-        timer.start()
-        try:
-            for line in proc.stdout:
-                sys.stdout.write(line)
-                sys.stdout.flush()
-                sink.write(line)
-                sink.flush()
-                if '"step": "done"' in line:
-                    done = True
-            proc.wait(timeout=30)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-        finally:
-            timer.cancel()
-    if proc.returncode not in (0,):
-        print(f"child exited rc={proc.returncode}", file=sys.stderr)
-    return (0 if proc.returncode == 0 else 2), done
-
-
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--retries", type=int, default=5)
-    ap.add_argument("--retry-wait", type=int, default=120)
-    ap.add_argument("--timeout", type=int, default=2400)
-    ap.add_argument("--out", default="perf/v4_family_r3.jsonl")
-    args = ap.parse_args()
-
-    for attempt in range(args.retries + 1):
-        if attempt:
-            print(f"retry {attempt}/{args.retries} in {args.retry_wait}s",
-                  file=sys.stderr)
-            time.sleep(args.retry_wait)
-        rc, done = run_once(args)
-        if done:
-            return 0
-        print(f"attempt {attempt + 1} ended rc={rc} without 'done'",
-              file=sys.stderr)
-    return 1
-
-
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from harvest_common import harvest_main
+
+    raise SystemExit(harvest_main(CHILD, "perf/v4_family_r3.jsonl",
+                                  default_retries=5,
+                                  default_retry_wait=120,
+                                  default_timeout=2400))
