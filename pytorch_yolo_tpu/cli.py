@@ -75,6 +75,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="calibrate from the Q-th percentile of |activation| "
                         "(e.g. 99.9) instead of the max — robust to outlier "
                         "activations in the calibration images")
+    p.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the batch over the first N local accelerator "
+                        "devices via a GSPMD batch mesh (outputs gathered "
+                        "over ICI; parallel/sharding.py).  1 = single "
+                        "device (default), 0 = every local device")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache "
                         "(~/.cache/pytorch_yolo_tpu/xla)")
@@ -115,6 +120,21 @@ def _build_detector(args) -> Detector:
 
         enable_compilation_cache()
     kw = {"interp": getattr(args, "interp", "linear")}
+    n_dev = getattr(args, "devices", 1)
+    if n_dev != 1:
+        import jax
+
+        from .parallel.sharding import make_batch_mesh
+
+        devs = jax.devices()
+        if n_dev == 0:
+            n_dev = len(devs)
+        if not 1 <= n_dev <= len(devs):
+            raise SystemExit(f"--devices {n_dev}: only {len(devs)} local "
+                             f"device(s) available")
+        if n_dev > 1:
+            kw.update(mesh=make_batch_mesh(devs[:n_dev]))
+            log.info("sharding batches over %d devices", n_dev)
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
     calib_dir = getattr(args, "int8_calib", None)

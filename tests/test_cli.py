@@ -207,3 +207,35 @@ def test_int8_calib_empty_dir_errors(assets, tmp_path):
               str(tmp_path / "d"), "--cfg", assets["cfg"],
               "--weights", assets["weights"], "--reso", "320",
               "--int8", "--int8-calib", str(empty)])
+
+
+def test_detect_sharded_over_mesh_matches_single(assets, tmp_path):
+    """--devices N builds a GSPMD batch mesh inside the CLI (the
+    multi-chip production path, SURVEY §2.3); detections must match the
+    single-device run exactly at fp32 (save-json output compared)."""
+    import json
+
+    outs = {}
+    for n in (1, 4):
+        out = str(tmp_path / f"det_mesh{n}")
+        rc = main(["detect", "--images", assets["imgs"], "--det", out,
+                   "--cfg", assets["cfg"], "--weights", assets["weights"],
+                   "--reso", "320", "--devices", str(n), "--save-json"])
+        assert rc == 0
+        path = os.path.join(out, "detections.jsonl")
+        outs[n] = [json.loads(l) for l in open(path)]
+    assert len(outs[1]) == len(outs[4]) == 2
+    for a, b in zip(sorted(outs[1], key=lambda r: r["image"]),
+                    sorted(outs[4], key=lambda r: r["image"])):
+        assert a["image"] == b["image"]
+        assert a["cls_id"] == b["cls_id"]
+        np.testing.assert_allclose(a["boxes"], b["boxes"],
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_detect_devices_overflow_errors(assets, tmp_path):
+    with pytest.raises(SystemExit, match="local"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"),
+              "--cfg", assets["cfg"], "--weights", assets["weights"],
+              "--reso", "320", "--devices", "64"])
