@@ -135,6 +135,14 @@ def _build_detector(args) -> Detector:
         if n_dev > 1:
             kw.update(mesh=make_batch_mesh(devs[:n_dev]))
             log.info("sharding batches over %d devices", n_dev)
+            batch = getattr(args, "batch", None)
+            if batch is not None and batch % n_dev:
+                # prepared pipelines (detect_many/evaluate/serve) stack
+                # fixed-size chunks; GSPMD needs the chunk to divide the
+                # mesh, so round the bucket up rather than erroring later
+                args.batch = batch + n_dev - batch % n_dev
+                log.info("rounded --batch %d up to %d (multiple of %d "
+                         "mesh devices)", batch, args.batch, n_dev)
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
     calib_dir = getattr(args, "int8_calib", None)

@@ -239,3 +239,15 @@ def test_detect_devices_overflow_errors(assets, tmp_path):
               "--det", str(tmp_path / "x"),
               "--cfg", assets["cfg"], "--weights", assets["weights"],
               "--reso", "320", "--devices", "64"])
+
+
+def test_detect_many_on_mesh_via_cli_batch_rounding(assets, tmp_path):
+    """--devices 3 with --batch 8: the CLI rounds the prepared-pipeline
+    bucket up to a mesh multiple (9) instead of tripping GSPMD divisibility
+    at the first chunk."""
+    out = str(tmp_path / "det_m3")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--devices", "3", "--batch", "8"])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["det_im0.png", "det_im1.png"]
