@@ -112,6 +112,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_act_scales: "dict[int, float] | None" = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -156,7 +157,17 @@ class Detector:
             self._quant_skip = quant_skip_layers
 
             act_scales = None
-            if quant_calib is not None:
+            if quant_act_scales is not None:
+                # Pre-computed static scales (e.g. persisted by a previous
+                # calibration via act_scales()): skip the calibration
+                # forward entirely — calibrate once, serve many times.
+                if quant_calib is not None:
+                    raise ValueError("pass either quant_calib (images) or "
+                                     "quant_act_scales (persisted scales), "
+                                     "not both")
+                act_scales = {int(k): float(v)
+                              for k, v in quant_act_scales.items()}
+            elif quant_calib is not None:
                 # Static activation scales: run the fp32 forward once on the
                 # letterboxed calibration images; the compiled int8 program
                 # then skips every per-conv dynamic max|x| reduction (the
@@ -291,6 +302,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_act_scales: "dict[int, float] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -316,9 +328,18 @@ class Detector:
                   score_mode=score_mode, stem_s2d=stem_s2d,
                   quant_calib=quant_calib, quant_calib_bgr=quant_calib_bgr,
                   quant_calib_margin=quant_calib_margin,
-                  quant_calib_percentile=quant_calib_percentile)
+                  quant_calib_percentile=quant_calib_percentile,
+                  quant_act_scales=quant_act_scales)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
+
+    def act_scales(self) -> "dict[int, float]":
+        """The static int8 activation scales baked into the params (one per
+        statically-quantized conv).  Persist as JSON and hand back to
+        ``load(..., quant_act_scales=...)`` to serve without re-running the
+        calibration forward (calibrate once, serve many times)."""
+        return {idx: float(np.asarray(p["sa"]))
+                for idx, p in self.params.items() if "sa" in p}
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads

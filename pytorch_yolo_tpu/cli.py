@@ -75,6 +75,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="calibrate from the Q-th percentile of |activation| "
                         "(e.g. 99.9) instead of the max — robust to outlier "
                         "activations in the calibration images")
+    p.add_argument("--int8-scales", default=None, metavar="JSON",
+                   help="persisted static activation scales: if JSON exists "
+                        "it is loaded (no calibration forward needed); "
+                        "otherwise the scales calibrated via --int8-calib "
+                        "are written there (calibrate once, serve many)")
     p.add_argument("--devices", type=int, default=1, metavar="N",
                    help="shard the batch over the first N local accelerator "
                         "devices via a GSPMD batch mesh (outputs gathered "
@@ -149,17 +154,29 @@ def _build_detector(args) -> Detector:
     if calib_dir and not getattr(args, "int8", False):
         raise SystemExit("--int8-calib requires --int8 (static scales "
                          "calibrate the int8 serving path)")
+    scales_path = getattr(args, "int8_scales", None)
+    if scales_path and not getattr(args, "int8", False):
+        raise SystemExit("--int8-scales requires --int8")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
-        if calib_dir:
+        if scales_path and os.path.exists(scales_path):
+            with open(scales_path, "r", encoding="utf-8") as f:
+                kw.update(quant_act_scales=json.load(f))
+            log.info("loaded static int8 scales from %s (no calibration "
+                     "forward)", scales_path)
+        elif calib_dir:
             # CLI images load via cv2.imread (BGR) and detect() defaults
             # bgr=True, so calibration runs on the served channel order.
             kw.update(quant_calib=_load_calib_images(calib_dir),
                       quant_calib_margin=getattr(args, "int8_calib_margin", 1.0),
                       quant_calib_percentile=getattr(
                           args, "int8_calib_percentile", None))
+        elif scales_path:
+            raise SystemExit(f"--int8-scales {scales_path}: file does not "
+                             "exist and no --int8-calib DIR given to "
+                             "calibrate it")
     weights = args.weights
     if weights is None and not source.endswith(".cfg"):
         # auto-adopt driver-provided assets the moment they appear (reuse a
@@ -177,6 +194,12 @@ def _build_detector(args) -> Detector:
             log.info("using discovered weights asset: %s", weights)
     det = Detector.load(source, weights, names=args.names, **kw)
     det.weights_source = weights  # provenance: None = synthetic random
+    if scales_path and not os.path.exists(scales_path):
+        scales = det.act_scales()
+        with open(scales_path, "w", encoding="utf-8") as f:
+            json.dump(scales, f)
+        log.info("wrote %d calibrated int8 scales to %s", len(scales),
+                 scales_path)
     if weights is None:
         log.warning("no --weights given and no asset found: using synthetic "
                     "random weights (run `pytorch_yolo_tpu assets` for the "

@@ -251,3 +251,34 @@ def test_detect_many_on_mesh_via_cli_batch_rounding(assets, tmp_path):
                "--reso", "320", "--devices", "3", "--batch", "8"])
     assert rc == 0
     assert sorted(os.listdir(out)) == ["det_im0.png", "det_im1.png"]
+
+
+def test_int8_scales_file_write_then_load(assets, tmp_path):
+    """--int8-scales JSON: first run calibrates (via --int8-calib) and
+    writes the scales; second run loads them with no calibration forward
+    and produces identical detections.jsonl."""
+    import json as _json
+
+    scales = str(tmp_path / "scales.json")
+    outs = {}
+    for tag in ("calib", "loaded"):
+        out = str(tmp_path / f"det_{tag}")
+        argv = ["detect", "--images", assets["imgs"], "--det", out,
+                "--cfg", assets["cfg"], "--weights", assets["weights"],
+                "--reso", "320", "--int8", "--int8-scales", scales,
+                "--save-json"]
+        if tag == "calib":
+            argv += ["--int8-calib", assets["imgs"]]
+        assert main(argv) == 0
+        outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
+    saved = _json.load(open(scales))
+    assert saved and all(float(v) > 0 for v in saved.values())
+    assert outs["calib"] == outs["loaded"]
+
+
+def test_int8_scales_missing_without_calib_errors(assets, tmp_path):
+    with pytest.raises(SystemExit, match="does not exist"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "320",
+              "--int8", "--int8-scales", str(tmp_path / "nope.json")])

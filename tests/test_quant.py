@@ -509,3 +509,36 @@ def spec_from_single(conv: ConvSpec):
 
     return ModelSpec(net=NetInfo(width=32, height=32),
                      layers=(conv,), out_channels=(conv.filters,))
+
+
+def test_persisted_act_scales_round_trip(tiny):
+    """act_scales() -> Detector(quant_act_scales=...) reproduces the
+    calibrated detector bit-for-bit without re-running the calibration
+    forward (calibrate once, serve many)."""
+    spec, params = tiny
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    calibrated = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    scales = calibrated.act_scales()
+    assert scales and all(v > 0 for v in scales.values())
+
+    # JSON round-trip (string keys) — exactly what the CLI persists
+    import json
+
+    revived = json.loads(json.dumps(scales))
+    reloaded = pyt.Detector(spec, params, quant="w8a8",
+                            quant_act_scales=revived)
+    a = calibrated.detect(imgs[0], size=320, conf=0.3)
+    b = reloaded.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+    np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_act_scales_and_calib_are_mutually_exclusive(tiny):
+    spec, params = tiny
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="not both"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
+                     quant_act_scales={0: 1.0})
