@@ -281,3 +281,27 @@ def test_stride128_p7_head_on_mesh_matches_single(mesh, tmp_path):
         assert len(a) == len(b)
         np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
         np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_detect_many_prepared_pipeline_on_mesh_matches_single(mesh):
+    """detect_many (host letterbox -> prepared pipeline) under GSPMD batch
+    sharding == single device — the path `evaluate --devices N` takes."""
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    spec = model_spec("yolov3-tiny")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=9))
+    host = jax.tree_util.tree_map(np.asarray, params)
+    det_single = pyt.Detector(spec, host)
+    det_mesh = pyt.Detector(spec, host, mesh=mesh)
+    rng = np.random.default_rng(31)
+    imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for h, w in ((200, 320), (240, 180), (160, 160), (300, 220),
+                         (220, 300))]
+    a = det_single.detect_many(imgs, size=320, conf=0.3, batch=8)
+    b = det_mesh.detect_many(imgs, size=320, conf=0.3, batch=8)
+    assert len(a) == len(b) == 5
+    for da, db in zip(a, b):
+        assert len(da) == len(db)
+        np.testing.assert_allclose(da.boxes, db.boxes, rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(da.cls_id, db.cls_id)
