@@ -425,7 +425,7 @@ def cmd_serve(args) -> int:
     # the first client request never waits on a compile
     import numpy as np
 
-    b = 1
+    b = det.mesh.devices.size if det.mesh is not None else 1
     while True:
         x = np.zeros((b, args.reso, args.reso, 3), np.uint8)
         g = np.tile([[1.0, 0, 0, 1, 1]], (b, 1)).astype(np.float32)

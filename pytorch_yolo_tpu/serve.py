@@ -65,6 +65,13 @@ class MicroBatcher:
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
+        # GSPMD: prepared-pipeline batches must divide a mesh-bound
+        # detector's mesh, so the bucket floor is the mesh size (sub-mesh
+        # batches would fail sharding) and batch_max rounds up to it.
+        mesh = getattr(detector, "mesh", None)
+        self.bucket_floor = mesh.devices.size if mesh is not None else 1
+        if batch_max % self.bucket_floor:
+            batch_max += self.bucket_floor - batch_max % self.bucket_floor
         self.batch_max = batch_max
         self.timeout_s = batch_timeout_ms / 1e3
         self._queue: list[_Pending] = []
@@ -117,7 +124,7 @@ class MicroBatcher:
 
     def _flush(self, batch: "list[_Pending]") -> None:
         n = len(batch)
-        run_n = _pow2_bucket(n, self.batch_max)
+        run_n = max(_pow2_bucket(n, self.batch_max), self.bucket_floor)
         x = np.stack([p.lb for p in batch])
         geos = np.asarray([p.geo for p in batch], dtype=np.float32)
         if run_n != n:  # pad to the bucket so executables stay bounded

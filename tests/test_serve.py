@@ -114,3 +114,32 @@ def test_error_paths(server):
         urllib.request.urlopen(req, timeout=30)
     if isinstance(e.value, urllib.error.HTTPError):
         assert e.value.code == 413
+
+
+def test_serve_on_mesh_buckets_divide_mesh():
+    """A mesh-bound detector forces the micro-batch bucket floor to the
+    mesh size (GSPMD divisibility) and still answers requests correctly."""
+    import jax
+
+    from pytorch_yolo_tpu.parallel.sharding import make_batch_mesh
+
+    det = pyt.Detector.load("yolov3-tiny",
+                            mesh=make_batch_mesh(jax.devices()[:4]))
+    srv = make_server(det, port=0, size=320, conf=0.5, batch_max=6,
+                      batch_timeout_ms=10.0)
+    try:
+        assert srv.batcher.bucket_floor == 4
+        assert srv.batcher.batch_max == 8  # 6 rounded up to a mesh multiple
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        status, body = _post_image(srv, _img(3))
+        assert status == 200
+        # parity with the library call on the same mesh detector
+        lib = det.detect_many([_img(3)], size=320, conf=0.5,
+                              transfer="u8")[0]
+        assert len(body["boxes"]) == len(lib)
+        np.testing.assert_allclose(np.asarray(body["boxes"]), lib.boxes,
+                                   rtol=1e-4, atol=1e-2)
+    finally:
+        srv.batcher.close()
+        srv.shutdown()
