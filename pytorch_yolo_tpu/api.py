@@ -196,6 +196,22 @@ class Detector:
             params = quantize_params(spec, params,
                                      skip_layers=quant_skip_layers,
                                      act_scales=act_scales)
+            if quant_act_scales is not None:
+                # Scales persisted under one skip policy and loaded under
+                # another leave the uncovered convs silently dynamic (and
+                # the resident-chain fast path off for them) — say so.
+                missing = sorted(k for k, p in params.items()
+                                 if "wq" in p and "sa" not in p)
+                if missing:
+                    import warnings
+
+                    warnings.warn(
+                        f"quant_act_scales covers {len(quant_act_scales)} "
+                        f"layers but {len(missing)} quantized convs have no "
+                        f"scale (e.g. {missing[:4]}) — they fall back to "
+                        "dynamic quantization; re-calibrate under the "
+                        "current skip policy for full static int8",
+                        stacklevel=2)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.precision = precision
         self.quant = quant

@@ -148,7 +148,10 @@ def quantize_params(spec: ModelSpec, params: dict,
         ws = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 + _QEPS  # (O,)
         wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
         q = {"wq": wq, "ws": ws, "b": jnp.asarray(p["b"], jnp.float32)}
-        if act_scales is not None:
+        # A conv without a calibrated scale (e.g. scales persisted under a
+        # different skip policy) stays dynamic rather than erroring — the
+        # caller warns about the coverage gap (api.Detector).
+        if act_scales is not None and layer.index in act_scales:
             q["sa"] = jnp.asarray(float(act_scales[layer.index]) + _QEPS,
                                   jnp.float32)
         out[layer.index] = q

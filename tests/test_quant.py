@@ -542,3 +542,20 @@ def test_act_scales_and_calib_are_mutually_exclusive(tiny):
     with pytest.raises(ValueError, match="not both"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
                      quant_act_scales={0: 1.0})
+
+
+def test_partial_act_scales_warn_and_fall_back_dynamic(tiny):
+    """Scales persisted under a different skip policy leave uncovered
+    quantized convs dynamic — loudly, not silently."""
+    import warnings
+
+    spec, params = tiny
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        det = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales={0: 0.02})
+    assert any("fall back to dynamic" in str(x.message) for x in w)
+    assert "sa" in det.params[0]
+    # still serves
+    img = np.zeros((64, 64, 3), np.uint8)
+    det.detect(img, size=320, conf=0.5)
