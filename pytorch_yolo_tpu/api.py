@@ -682,19 +682,36 @@ class Detector:
         inflight: collections.deque = collections.deque()
         rsize = self._resolve_size(size)
 
+        # Mesh-bound detectors need batches that divide the mesh: pad the
+        # batch-1 dispatch up to the mesh size (results are trimmed to 1
+        # below — wasteful for streams, but latency-bound streaming on a
+        # multi-chip mesh is a consistency path, not a throughput one).
+        m = self.mesh.devices.size if self.mesh is not None else 1
+
         def dispatch(img: np.ndarray):
             if host_preproc:
                 lb, geo = letterbox_host(
                     _normalize_channels(img), rsize, bgr=bgr, method=self.interp,
                     out_dtype=_transfer_dtype(transfer))
+                x = lb[None]
                 geos = np.asarray(
                     [[geo.scale, geo.pad_x, geo.pad_y, geo.orig_w, geo.orig_h]],
                     dtype=np.float32)
+                if m > 1:
+                    x = np.concatenate(
+                        [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
+                    geos = np.concatenate(
+                        [geos, np.tile([[1.0, 0, 0, 1, 1]],
+                                       (m - 1, 1)).astype(np.float32)])
                 inflight.append(self.detect_prepared(
-                    lb[None], geos, rsize, conf=conf, iou=iou, max_det=max_det))
+                    x, geos, rsize, conf=conf, iou=iou, max_det=max_det))
             else:
+                x = img[None]
+                if m > 1:
+                    x = np.concatenate(
+                        [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
                 inflight.append(self.raw_result(
-                    img[None], size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
+                    x, size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
 
         it = iter(images)
         try:

@@ -305,3 +305,29 @@ def test_detect_many_prepared_pipeline_on_mesh_matches_single(mesh):
         assert len(da) == len(db)
         np.testing.assert_allclose(da.boxes, db.boxes, rtol=1e-4, atol=1e-2)
         np.testing.assert_array_equal(da.cls_id, db.cls_id)
+
+
+def test_detect_stream_on_mesh_matches_single(mesh):
+    """Batch-1 stream dispatches pad to the mesh size (both raw and
+    host_preproc paths) and yield the single-device results."""
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    spec = model_spec("yolov3-tiny")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=13))
+    host = jax.tree_util.tree_map(np.asarray, params)
+    det_single = pyt.Detector(spec, host)
+    det_mesh = pyt.Detector(spec, host, mesh=mesh)
+    rng = np.random.default_rng(41)
+    imgs = [rng.integers(0, 256, size=(200, 320, 3), dtype=np.uint8)
+            for _ in range(3)]
+    for hp in (False, True):
+        a = list(det_single.detect_stream(iter(imgs), size=320, conf=0.3,
+                                          host_preproc=hp))
+        b = list(det_mesh.detect_stream(iter(imgs), size=320, conf=0.3,
+                                        host_preproc=hp))
+        assert len(a) == len(b) == 3
+        for da, db in zip(a, b):
+            assert len(da) == len(db)
+            np.testing.assert_allclose(da.boxes, db.boxes,
+                                       rtol=1e-4, atol=1e-2)
