@@ -129,6 +129,9 @@ class Detector:
         if quant is None and quant_calib is not None:
             raise ValueError("quant_calib given but quant is None — pass "
                              "quant='w8a8' to use static int8 calibration")
+        if quant is None and quant_act_scales is not None:
+            raise ValueError("quant_act_scales given but quant is None — "
+                             "pass quant='w8a8' to serve persisted scales")
         self._quant_skip: frozenset[int] = frozenset()
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are

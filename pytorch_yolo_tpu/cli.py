@@ -357,13 +357,35 @@ def cmd_evaluate(args) -> int:
             kept_samples.append(sample)
             yield img
 
-    # detect_stream overlaps cv2 decode of image t+1 with device compute of t;
-    # host_preproc: COCO sizes are heterogeneous — one compiled pipeline;
-    # u8 transfer: cv2-faithful rounded uint8 canvases, 4x less H2D
-    for i, d in enumerate(det.detect_stream(
+    # Single device: detect_stream overlaps cv2 decode of image t+1 with
+    # device compute of t (host_preproc: COCO sizes are heterogeneous — one
+    # compiled pipeline; u8 transfer: cv2-faithful canvases, 4x less H2D).
+    # On a mesh, a batch-1 stream would pad every dispatch to the mesh size
+    # (no speedup): chunk into full device batches via detect_many instead.
+    if det.mesh is None:
+        det_iter = det.detect_stream(
             image_gen(), size=args.reso, conf=args.confidence,
             iou=args.nms_thresh, max_det=args.max_det, host_preproc=True,
-            transfer="u8")):
+            transfer="u8")
+    else:
+        def _batched():
+            chunk: list = []
+            for img in image_gen():
+                chunk.append(img)
+                if len(chunk) == args.batch:
+                    yield from det.detect_many(
+                        chunk, size=args.reso, conf=args.confidence,
+                        iou=args.nms_thresh, max_det=args.max_det,
+                        batch=args.batch, transfer="u8")
+                    chunk = []
+            if chunk:
+                yield from det.detect_many(
+                    chunk, size=args.reso, conf=args.confidence,
+                    iou=args.nms_thresh, max_det=args.max_det,
+                    batch=args.batch, transfer="u8")
+
+        det_iter = _batched()
+    for i, d in enumerate(det_iter):
         sample = kept_samples[i]
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
         evals.append(ImageEval(
@@ -421,20 +443,22 @@ def cmd_serve(args) -> int:
     from .serve import make_server
 
     det = _build_detector(args)
-    # precompile every pow2 batch bucket of the prepared (uint8) pipeline so
-    # the first client request never waits on a compile
+    # precompile exactly the batch buckets the MicroBatcher can dispatch
+    # (serve.bucket_ladder) so the first client request never waits on a
+    # compile
     import numpy as np
 
-    b = det.mesh.devices.size if det.mesh is not None else 1
-    while True:
+    from .serve import bucket_ladder
+
+    floor = det.mesh.devices.size if det.mesh is not None else 1
+    cap = args.batch + (floor - args.batch % floor) % floor
+    ladder = bucket_ladder(cap, floor)
+    for b in ladder:
         x = np.zeros((b, args.reso, args.reso, 3), np.uint8)
         g = np.tile([[1.0, 0, 0, 1, 1]], (b, 1)).astype(np.float32)
         det.detect_prepared(x, g, args.reso, conf=args.confidence,
                             iou=args.nms_thresh, max_det=args.max_det)
-        if b >= args.batch:
-            break
-        b = min(b * 2, args.batch)
-    log.info("prepared pipelines warmed for batch buckets up to %d", args.batch)
+    log.info("prepared pipelines warmed for batch buckets %s", ladder)
     server = make_server(det, host=args.host, port=args.port, size=args.reso,
                          conf=args.confidence, iou=args.nms_thresh,
                          max_det=args.max_det, batch_max=args.batch,
@@ -530,6 +554,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--score", default="obj", choices=("obj", "obj*cls"),
                    help="detection score used for PR ranking")
+    p.add_argument("--batch", type=int, default=8,
+                   help="device batch for the chunked mesh path "
+                        "(--devices > 1); the single-device path streams")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("info", help="print a model summary")

@@ -152,7 +152,10 @@ def quantize_params(spec: ModelSpec, params: dict,
         # different skip policy) stays dynamic rather than erroring — the
         # caller warns about the coverage gap (api.Detector).
         if act_scales is not None and layer.index in act_scales:
-            q["sa"] = jnp.asarray(float(act_scales[layer.index]) + _QEPS,
+            # max (not +): keeps a zero/degenerate scale positive while
+            # making save->load->save round trips idempotent — an additive
+            # epsilon would drift the persisted scale every cycle.
+            q["sa"] = jnp.asarray(max(float(act_scales[layer.index]), _QEPS),
                                   jnp.float32)
         out[layer.index] = q
     return out

@@ -25,6 +25,7 @@ stdlib-only (http.server + threading) by design: no framework deps.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
 from dataclasses import dataclass, field
@@ -43,6 +44,23 @@ def _pow2_bucket(n: int, cap: int) -> int:
     while b < n and b < cap:
         b *= 2
     return min(b, cap)
+
+
+def _mesh_bucket(n: int, cap: int, floor: int) -> int:
+    """The batch a flush of ``n`` requests actually runs: the pow2 bucket
+    rounded UP to a multiple of ``floor`` (GSPMD: batches must divide a
+    mesh-bound detector's mesh), capped at ``cap`` (itself a floor
+    multiple)."""
+    b = _pow2_bucket(n, cap)
+    if b % floor:
+        b += floor - b % floor
+    return min(b, cap)
+
+
+def bucket_ladder(cap: int, floor: int = 1) -> list[int]:
+    """Every batch size the MicroBatcher can dispatch — the exact set the
+    server warmup must precompile so no first request waits on a compile."""
+    return sorted({_mesh_bucket(n, cap, floor) for n in range(1, cap + 1)})
 
 
 @dataclass
@@ -71,7 +89,11 @@ class MicroBatcher:
         mesh = getattr(detector, "mesh", None)
         self.bucket_floor = mesh.devices.size if mesh is not None else 1
         if batch_max % self.bucket_floor:
-            batch_max += self.bucket_floor - batch_max % self.bucket_floor
+            rounded = batch_max + self.bucket_floor - batch_max % self.bucket_floor
+            logging.getLogger("pytorch_yolo_tpu.serve").info(
+                "batch_max %d rounded up to %d (multiple of the %d-device "
+                "mesh)", batch_max, rounded, self.bucket_floor)
+            batch_max = rounded
         self.batch_max = batch_max
         self.timeout_s = batch_timeout_ms / 1e3
         self._queue: list[_Pending] = []
@@ -124,7 +146,7 @@ class MicroBatcher:
 
     def _flush(self, batch: "list[_Pending]") -> None:
         n = len(batch)
-        run_n = max(_pow2_bucket(n, self.batch_max), self.bucket_floor)
+        run_n = _mesh_bucket(n, self.batch_max, self.bucket_floor)
         x = np.stack([p.lb for p in batch])
         geos = np.asarray([p.geo for p in batch], dtype=np.float32)
         if run_n != n:  # pad to the bucket so executables stay bounded

@@ -98,7 +98,13 @@ def run_video(
             return False
         idx, frame = item
         with stats.stage("dispatch"):
-            res = detector.raw_result(frame[None], size=size, conf=conf,
+            x = frame[None]
+            m = (detector.mesh.devices.size
+                 if detector.mesh is not None else 1)
+            if m > 1:  # mesh-bound: pad batch-1 to the mesh (trimmed below)
+                x = np.concatenate(
+                    [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
+            res = detector.raw_result(x, size=size, conf=conf,
                                       iou=iou, max_det=max_det)
         inflight.put((idx, frame, res))
         return True

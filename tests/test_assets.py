@@ -125,3 +125,23 @@ def test_expected_weights_sizes_match_zoo_specs():
                  "yolov4-p7"):
         expect = EXPECTED_WEIGHTS[name + ".weights"]
         assert 20 + 4 * param_count(model_spec(name)) == expect, name
+
+
+def test_evaluate_on_mesh_matches_single_device(asset_dir, monkeypatch, capsys):
+    """evaluate --devices N chunks full device batches (detect_many) and
+    reports the same metrics as the single-device stream path."""
+    monkeypatch.setenv("PYTORCH_YOLO_ASSETS", asset_dir)
+    os.rename(os.path.join(asset_dir, "yolov3-tiny.weights"),
+              os.path.join(asset_dir, "x.bin"))
+    from pytorch_yolo_tpu.cli import main
+
+    metrics = {}
+    for n in ("1", "4"):
+        rc = main(["evaluate", "--model", "yolov3-tiny", "--reso", "320",
+                   "--confidence", "0.5", "--devices", n])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        metrics[n] = json.loads(out)
+    assert metrics["1"]["images"] == metrics["4"]["images"] == 5
+    assert metrics["1"]["mAP@0.5"] == metrics["4"]["mAP@0.5"]
+    assert metrics["1"]["AP@[.5:.95]"] == metrics["4"]["AP@[.5:.95]"]

@@ -143,3 +143,16 @@ def test_serve_on_mesh_buckets_divide_mesh():
     finally:
         srv.batcher.close()
         srv.shutdown()
+
+
+def test_mesh_bucket_math_non_pow2_mesh():
+    """Buckets on a 3-device mesh are always multiples of 3 (GSPMD) and
+    the warmup ladder is exactly the dispatchable set."""
+    from pytorch_yolo_tpu.serve import _mesh_bucket, bucket_ladder
+
+    cap = 9  # batch_max already rounded to a floor multiple
+    for n in range(1, cap + 1):
+        b = _mesh_bucket(n, cap, 3)
+        assert b % 3 == 0 and n <= b <= cap, (n, b)
+    assert bucket_ladder(cap, 3) == [3, 6, 9]
+    assert bucket_ladder(8, 1) == [1, 2, 4, 8]

@@ -331,3 +331,33 @@ def test_detect_stream_on_mesh_matches_single(mesh):
             assert len(da) == len(db)
             np.testing.assert_allclose(da.boxes, db.boxes,
                                        rtol=1e-4, atol=1e-2)
+
+
+def test_run_video_on_mesh_matches_single(mesh, tmp_path):
+    """video --devices N path: run_video's batch-1 raw dispatches pad to
+    the mesh and match the single-device detections."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.video import run_video
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    src = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (320, 240))
+    rng = np.random.default_rng(6)
+    for _ in range(4):
+        w.write(rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8))
+    w.release()
+
+    spec = model_spec("yolov3-tiny")
+    params = fold_batchnorm(spec, random_raw_params(spec, seed=21))
+    host = jax.tree_util.tree_map(np.asarray, params)
+    a = list(run_video(src, pyt.Detector(spec, host), size=320, conf=0.4))
+    b = list(run_video(src, pyt.Detector(spec, host, mesh=mesh),
+                       size=320, conf=0.4))
+    assert [r.index for r in a] == [r.index for r in b] == [0, 1, 2, 3]
+    for ra, rb in zip(a, b):
+        assert len(ra.detection) == len(rb.detection)
+        np.testing.assert_allclose(ra.detection.boxes, rb.detection.boxes,
+                                   rtol=1e-4, atol=1e-2)
