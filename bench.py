@@ -490,6 +490,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.chain < 1:
         ap.error(f"--chain must be >= 1, got {args.chain}")  # before any retry
+    if args.chain > 1 and args.mode != "compute":
+        ap.error("--chain only applies to --mode compute (a silently "
+                 "unchained row would carry wrong provenance)")
 
     if args.retries > 0:
         _run_with_retries(args, sys.argv[1:])

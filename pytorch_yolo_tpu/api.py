@@ -481,8 +481,8 @@ class Detector:
             size = w if h == w else (h, w)
         dims = size if isinstance(size, tuple) else (size,)
         # The grid must stay integral through the deepest downsample so the
-        # upsample+route fusions re-align: stride-64 models (yolov4-p6)
-        # need %64, everything else %32.
+        # upsample+route fusions re-align: %(deepest head stride), i.e.
+        # %64 for yolov4-p6, %128 for yolov4-p7, %32 otherwise.
         from .config import head_strides
 
         mod = max(32, max(head_strides(self.spec)))
@@ -604,7 +604,29 @@ class Detector:
         key = _PipelineKey(batch=x.shape[0], orig_h=0, orig_w=0, size=size,
                            conf=conf, iou=iou, max_det=max_det, bgr=False,
                            prepared=True)
+        if self.mesh is not None:
+            # Place shards directly on their devices — committing the batch
+            # to device 0 (plain jnp.asarray) and letting jit reshard would
+            # double-transfer the hot serve/evaluate path.
+            sh = batch_sharding(self.mesh)
+            x, geos = jax.device_put(x, sh), jax.device_put(geos, sh)
         return self._pipeline(key)(self.params, jnp.asarray(x), jnp.asarray(geos))
+
+    def _pad_to_mesh(self, x: np.ndarray,
+                     geos: "np.ndarray | None" = None):
+        """Pad a (usually batch-1) dispatch up to the mesh size with zero
+        frames (+ identity geometries) so GSPMD divisibility holds; callers
+        trim back with :meth:`_trim`.  No-op off-mesh."""
+        m = self.mesh.devices.size if self.mesh is not None else 1
+        if m <= 1 or x.shape[0] % m == 0:
+            return (x, geos) if geos is not None else x
+        pad = m - x.shape[0] % m
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        if geos is None:
+            return x
+        geos = np.concatenate(
+            [geos, np.tile([[1.0, 0, 0, 1, 1]], (pad, 1)).astype(np.float32)])
+        return x, geos
 
     def detect_many(
         self,
@@ -685,36 +707,26 @@ class Detector:
         inflight: collections.deque = collections.deque()
         rsize = self._resolve_size(size)
 
-        # Mesh-bound detectors need batches that divide the mesh: pad the
-        # batch-1 dispatch up to the mesh size (results are trimmed to 1
+        # Mesh-bound detectors need batches that divide the mesh:
+        # _pad_to_mesh the batch-1 dispatch (results are trimmed to 1
         # below — wasteful for streams, but latency-bound streaming on a
         # multi-chip mesh is a consistency path, not a throughput one).
-        m = self.mesh.devices.size if self.mesh is not None else 1
 
         def dispatch(img: np.ndarray):
             if host_preproc:
                 lb, geo = letterbox_host(
                     _normalize_channels(img), rsize, bgr=bgr, method=self.interp,
                     out_dtype=_transfer_dtype(transfer))
-                x = lb[None]
                 geos = np.asarray(
                     [[geo.scale, geo.pad_x, geo.pad_y, geo.orig_w, geo.orig_h]],
                     dtype=np.float32)
-                if m > 1:
-                    x = np.concatenate(
-                        [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
-                    geos = np.concatenate(
-                        [geos, np.tile([[1.0, 0, 0, 1, 1]],
-                                       (m - 1, 1)).astype(np.float32)])
+                x, geos = self._pad_to_mesh(lb[None], geos)
                 inflight.append(self.detect_prepared(
                     x, geos, rsize, conf=conf, iou=iou, max_det=max_det))
             else:
-                x = img[None]
-                if m > 1:
-                    x = np.concatenate(
-                        [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
                 inflight.append(self.raw_result(
-                    x, size=size, conf=conf, iou=iou, max_det=max_det, bgr=bgr))
+                    self._pad_to_mesh(img[None]), size=size, conf=conf,
+                    iou=iou, max_det=max_det, bgr=bgr))
 
         it = iter(images)
         try:

@@ -141,13 +141,16 @@ def _build_detector(args) -> Detector:
             kw.update(mesh=make_batch_mesh(devs[:n_dev]))
             log.info("sharding batches over %d devices", n_dev)
             batch = getattr(args, "batch", None)
-            if batch is not None and batch % n_dev:
+            if batch is not None:
+                from .parallel.sharding import pad_to_multiple
+
                 # prepared pipelines (detect_many/evaluate/serve) stack
                 # fixed-size chunks; GSPMD needs the chunk to divide the
                 # mesh, so round the bucket up rather than erroring later
-                args.batch = batch + n_dev - batch % n_dev
-                log.info("rounded --batch %d up to %d (multiple of %d "
-                         "mesh devices)", batch, args.batch, n_dev)
+                args.batch = pad_to_multiple(batch, n_dev)
+                if args.batch != batch:
+                    log.info("rounded --batch %d up to %d (multiple of %d "
+                             "mesh devices)", batch, args.batch, n_dev)
     if args.bf16:
         kw.update(compute_dtype=jnp.bfloat16, precision="default")
     calib_dir = getattr(args, "int8_calib", None)
@@ -369,10 +372,14 @@ def cmd_evaluate(args) -> int:
             transfer="u8")
     else:
         def _batched():
+            # Super-chunks of 8 device batches: detect_many double-buffers
+            # host letterboxing against device compute WITHIN a call, so
+            # the pipeline bubble at each boundary amortizes to ~1/8.
+            span = args.batch * 8
             chunk: list = []
             for img in image_gen():
                 chunk.append(img)
-                if len(chunk) == args.batch:
+                if len(chunk) == span:
                     yield from det.detect_many(
                         chunk, size=args.reso, conf=args.confidence,
                         iou=args.nms_thresh, max_det=args.max_det,
@@ -443,26 +450,25 @@ def cmd_serve(args) -> int:
     from .serve import make_server
 
     det = _build_detector(args)
-    # precompile exactly the batch buckets the MicroBatcher can dispatch
-    # (serve.bucket_ladder) so the first client request never waits on a
-    # compile
+    server = make_server(det, host=args.host, port=args.port, size=args.reso,
+                         conf=args.confidence, iou=args.nms_thresh,
+                         max_det=args.max_det, batch_max=args.batch,
+                         batch_timeout_ms=args.batch_timeout_ms)
+    # precompile exactly the batch buckets the MicroBatcher can dispatch —
+    # read its own batch_max/bucket_floor so warmup can never desync from
+    # the flush arithmetic — so no first client request waits on a compile
     import numpy as np
 
     from .serve import bucket_ladder
 
-    floor = det.mesh.devices.size if det.mesh is not None else 1
-    cap = args.batch + (floor - args.batch % floor) % floor
-    ladder = bucket_ladder(cap, floor)
+    ladder = bucket_ladder(server.batcher.batch_max,
+                           server.batcher.bucket_floor)
     for b in ladder:
         x = np.zeros((b, args.reso, args.reso, 3), np.uint8)
         g = np.tile([[1.0, 0, 0, 1, 1]], (b, 1)).astype(np.float32)
         det.detect_prepared(x, g, args.reso, conf=args.confidence,
                             iou=args.nms_thresh, max_det=args.max_det)
     log.info("prepared pipelines warmed for batch buckets %s", ladder)
-    server = make_server(det, host=args.host, port=args.port, size=args.reso,
-                         conf=args.confidence, iou=args.nms_thresh,
-                         max_det=args.max_det, batch_max=args.batch,
-                         batch_timeout_ms=args.batch_timeout_ms)
     host, port = server.server_address[:2]
     log.info("serving on http://%s:%s  (POST /detect, GET /healthz /stats)",
              host, port)

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .ops.preprocess import letterbox_host
+from .parallel.sharding import pad_to_multiple
 
 # Reject request bodies above this size before reading them (a single huge
 # Content-Length must not be able to exhaust server memory).
@@ -51,10 +52,7 @@ def _mesh_bucket(n: int, cap: int, floor: int) -> int:
     rounded UP to a multiple of ``floor`` (GSPMD: batches must divide a
     mesh-bound detector's mesh), capped at ``cap`` (itself a floor
     multiple)."""
-    b = _pow2_bucket(n, cap)
-    if b % floor:
-        b += floor - b % floor
-    return min(b, cap)
+    return min(pad_to_multiple(_pow2_bucket(n, cap), floor), cap)
 
 
 def bucket_ladder(cap: int, floor: int = 1) -> list[int]:
@@ -88,13 +86,12 @@ class MicroBatcher:
         # batches would fail sharding) and batch_max rounds up to it.
         mesh = getattr(detector, "mesh", None)
         self.bucket_floor = mesh.devices.size if mesh is not None else 1
-        if batch_max % self.bucket_floor:
-            rounded = batch_max + self.bucket_floor - batch_max % self.bucket_floor
+        rounded = pad_to_multiple(batch_max, self.bucket_floor)
+        if rounded != batch_max:
             logging.getLogger("pytorch_yolo_tpu.serve").info(
                 "batch_max %d rounded up to %d (multiple of the %d-device "
                 "mesh)", batch_max, rounded, self.bucket_floor)
-            batch_max = rounded
-        self.batch_max = batch_max
+        self.batch_max = rounded
         self.timeout_s = batch_timeout_ms / 1e3
         self._queue: list[_Pending] = []
         self._lock = threading.Lock()

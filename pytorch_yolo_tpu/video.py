@@ -98,13 +98,9 @@ def run_video(
             return False
         idx, frame = item
         with stats.stage("dispatch"):
-            x = frame[None]
-            m = (detector.mesh.devices.size
-                 if detector.mesh is not None else 1)
-            if m > 1:  # mesh-bound: pad batch-1 to the mesh (trimmed below)
-                x = np.concatenate(
-                    [x, np.zeros((m - 1,) + x.shape[1:], x.dtype)])
-            res = detector.raw_result(x, size=size, conf=conf,
+            # mesh-bound: pad batch-1 to the mesh (trimmed on consume)
+            res = detector.raw_result(detector._pad_to_mesh(frame[None]),
+                                      size=size, conf=conf,
                                       iou=iou, max_det=max_det)
         inflight.put((idx, frame, res))
         return True
