@@ -42,10 +42,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--names", default=None, help=".names file (default COCO-80)")
     p.add_argument("--confidence", type=float, default=0.5)
     p.add_argument("--nms_thresh", type=float, default=0.4)
-    p.add_argument("--reso", type=int, default=416,
-                   help="network input resolution (reference trio 320/416/608;"
-                        " must be a multiple of the model's deepest stride —"
-                        " 64 for yolov4-p6, 128 for yolov4-p7, 32 otherwise)")
+    p.add_argument("--reso", type=_parse_reso, default=416,
+                   help="network input resolution: square (416) or "
+                        "rectangular HxW (256x416, widescreen video); "
+                        "reference trio 320/416/608; each dim must be a "
+                        "multiple of the model's deepest stride — 64 for "
+                        "yolov4-p6, 128 for yolov4-p7, 32 otherwise")
     p.add_argument("--max_det", type=int, default=300)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU speed mode, not bit-faithful)")
@@ -95,6 +97,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN checking (debug mode, SURVEY.md §5.2)")
     p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _parse_reso(s: str):
+    """416 -> 416; 256x416 -> (256, 416) (HxW, the API's tuple form)."""
+    if "x" in s.lower():
+        h, w = s.lower().split("x", 1)
+        return (int(h), int(w))
+    return int(s)
 
 
 def _load_calib_images(directory: str, limit: int = 8) -> list:
@@ -464,7 +474,9 @@ def cmd_serve(args) -> int:
     ladder = bucket_ladder(server.batcher.batch_max,
                            server.batcher.bucket_floor)
     for b in ladder:
-        x = np.zeros((b, args.reso, args.reso, 3), np.uint8)
+        rh, rw = ((args.reso, args.reso) if isinstance(args.reso, int)
+                  else args.reso)
+        x = np.zeros((b, rh, rw, 3), np.uint8)
         g = np.tile([[1.0, 0, 0, 1, 1]], (b, 1)).astype(np.float32)
         det.detect_prepared(x, g, args.reso, conf=args.confidence,
                             iou=args.nms_thresh, max_det=args.max_det)

@@ -282,3 +282,17 @@ def test_int8_scales_missing_without_calib_errors(assets, tmp_path):
               "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
               "--weights", assets["weights"], "--reso", "320",
               "--int8", "--int8-scales", str(tmp_path / "nope.json")])
+
+
+def test_rectangular_reso(assets, tmp_path):
+    """--reso HxW drives the API's rectangular net-input form."""
+    out = str(tmp_path / "det_rect")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "256x320"])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["det_im0.png", "det_im1.png"]
+    with pytest.raises(ValueError, match="multiple of 32"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "250x320"])
