@@ -7,6 +7,26 @@ fused on-device letterbox, fixed-shape NMS, and batch sharding over a device
 mesh.
 """
 
+def _honor_jax_platforms_env() -> None:
+    """Re-assert the standard ``JAX_PLATFORMS`` env var over container
+    sitecustomize hooks that force-register a TPU plugin by writing
+    ``jax.config`` directly (observed: env-var-only pinning still
+    initializes the tunnel backend, which hangs/fails during grant
+    outages).  No-op unless the user explicitly set the variable."""
+    import os as _os
+
+    want = _os.environ.get("JAX_PLATFORMS", "").strip()
+    if want:
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized; nothing to re-assert
+
+
+_honor_jax_platforms_env()
+
 from .api import Detection, Detector, detect, load
 from .config import ModelSpec, load_model_spec, parse_cfg_file, parse_cfg_text, build_spec
 from .models.zoo import available_models, model_spec, write_cfg

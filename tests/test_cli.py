@@ -296,3 +296,24 @@ def test_rectangular_reso(assets, tmp_path):
         main(["detect", "--images", assets["imgs"],
               "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
               "--weights", assets["weights"], "--reso", "250x320"])
+
+
+def test_jax_platforms_env_honored_in_subprocess():
+    """Package import re-asserts the standard JAX_PLATFORMS env var over
+    container sitecustomize hooks that force-register a tunneled TPU
+    plugin by writing jax.config directly.  Env-var-only pinning
+    demonstrably still initialized the tunnel backend (r3 session 5:
+    the asset drill's evaluate child hung in axon init during a grant
+    outage despite JAX_PLATFORMS=cpu in its environment) — this guards
+    every CLI/tool subprocess a CPU-pinned caller spawns."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import pytorch_yolo_tpu, jax; print(jax.default_backend())"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "cpu"
