@@ -159,6 +159,36 @@ def evaluate_cli(env, model: str, reso: int, max_images: int) -> dict:
     return {"result": result}
 
 
+@step("int8_scales_rehearsal")
+def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
+                          drill_dir: str, img_dir: str) -> dict:
+    """Rehearse the production int8 flow on the same stand-ins: calibrate
+    static scales from the discovered val images and persist them
+    (--int8-scales), then re-evaluate loading the file — the two runs must
+    report identical accuracy numbers (calibrate once, serve many)."""
+    scales = os.path.join(drill_dir, f"{model}.int8-scales.json")
+    outs = []
+    for extra in (["--int8-calib", img_dir], []):
+        proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
+                     "--model", model, "--reso", str(reso),
+                     "--confidence", "0.005", "--nms_thresh", "0.45",
+                     "--score", "obj*cls", "--max-images", str(max_images),
+                     "--int8", "--bf16", "--int8-scales", scales] + extra,
+                    env)
+        if proc.returncode != 0:
+            raise SystemExit(f"int8 evaluate failed rc={proc.returncode}:\n"
+                             f"{proc.stderr[-1200:]}")
+        line = next(l for l in proc.stdout.splitlines() if l.startswith("{"))
+        outs.append(json.loads(line))
+    if outs[0]["mAP@0.5"] != outs[1]["mAP@0.5"]:
+        raise SystemExit(f"persisted-scales run diverged from calibration "
+                         f"run: {outs[0]['mAP@0.5']} vs {outs[1]['mAP@0.5']}")
+    with open(scales) as f:
+        n_scales = len(json.load(f))
+    return {"scales": scales, "n_scales": n_scales,
+            "map_int8sb": outs[1]["mAP@0.5"]}
+
+
 @step("checkpoint_roundtrip")
 def checkpoint_roundtrip(drill_dir: str, model: str, weights: str,
                          ann: str, img_dir: str, reso: int,
@@ -220,6 +250,8 @@ def main() -> int:
     os.environ["PYTORCH_YOLO_ASSETS"] = args.dir  # in-process steps too
     scan(env)
     evaluate_cli(env, args.model, args.reso, args.eval_images)
+    int8_scales_rehearsal(env, args.model, args.reso,
+                          min(8, args.eval_images), args.dir, coco["dir"])
     checkpoint_roundtrip(args.dir, args.model, w["path"], coco["json"],
                          coco["dir"], args.reso, min(4, args.eval_images))
     emit(step="done", total_seconds=round(time.perf_counter() - t_all, 1))
