@@ -112,6 +112,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_skip_noisy: int = 0,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> None:
         self.spec = spec
@@ -132,6 +133,12 @@ class Detector:
         if quant is None and quant_act_scales is not None:
             raise ValueError("quant_act_scales given but quant is None — "
                              "pass quant='w8a8' to serve persisted scales")
+        if quant_skip_noisy and quant_calib is None:
+            raise ValueError(
+                "quant_skip_noisy requires quant_calib images (noise "
+                "attribution runs the fp calibration forward); with "
+                "persisted scales the skip set persists alongside them "
+                "(quant_state())")
         self._quant_skip: frozenset[int] = frozenset()
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
@@ -196,6 +203,24 @@ class Detector:
                 act_scales = collect_act_scales(
                     spec, params, canvases, margin=quant_calib_margin,
                     percentile=quant_calib_percentile)
+                if quant_skip_noisy:
+                    # Calibration-time noise attribution: quantize once
+                    # under the base policy, rank each quantized conv's
+                    # isolated int8 error on the first calibration canvas,
+                    # and keep the K noisiest in fp.  Measured recovery
+                    # (perf/int8_attrib_cpu_r3.jsonl, yolov3 @416): top-8
+                    # lifts post-NMS set agreement 0.894 -> 0.936 for
+                    # ~9 pts of skipped-FLOP share.
+                    from .ops.quant import rank_quant_noise
+
+                    qtmp = quantize_params(spec, params,
+                                           skip_layers=quant_skip_layers,
+                                           act_scales=act_scales)
+                    ranked = rank_quant_noise(spec, params, qtmp,
+                                              canvases[:1])
+                    quant_skip_layers = quant_skip_layers | frozenset(
+                        i for i, _ in ranked[:quant_skip_noisy])
+                    self._quant_skip = quant_skip_layers
             params = quantize_params(spec, params,
                                      skip_layers=quant_skip_layers,
                                      act_scales=act_scales)
@@ -321,6 +346,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_skip_noisy: int = 0,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
@@ -348,6 +374,7 @@ class Detector:
                   quant_calib=quant_calib, quant_calib_bgr=quant_calib_bgr,
                   quant_calib_margin=quant_calib_margin,
                   quant_calib_percentile=quant_calib_percentile,
+                  quant_skip_noisy=quant_skip_noisy,
                   quant_act_scales=quant_act_scales)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
@@ -359,6 +386,23 @@ class Detector:
         calibration forward (calibrate once, serve many times)."""
         return {idx: float(np.asarray(p["sa"]))
                 for idx, p in self.params.items() if "sa" in p}
+
+    def quant_state(self) -> dict:
+        """JSON-ready static-int8 serving state: the calibrated activation
+        scales **plus the resolved skip set** (heads + early-stride +
+        ``quant_skip_noisy`` picks), so a reload reproduces the exact
+        quantized-conv partition of the calibration run.  Reload with::
+
+            load(model, weights, quant="w8a8",
+                 quant_act_scales=state["scales"],
+                 quant_skip_layers=frozenset(state["skip"]))
+
+        The CLI ``--int8-scales JSON`` writes/reads this format (and still
+        accepts the older flat ``{idx: scale}`` files, which reload under
+        the default skip policy)."""
+        return {"version": 1,
+                "scales": {int(i): s for i, s in self.act_scales().items()},
+                "skip": sorted(int(i) for i in self._quant_skip)}
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads

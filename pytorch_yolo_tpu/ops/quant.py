@@ -299,3 +299,54 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
         return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     y = acc.astype(jnp.float32) * (sx * ws) + b
     return apply_activation(y, spec.activation)
+
+
+def rank_quant_noise(spec: ModelSpec, fp_params: dict, qparams: dict,
+                     x) -> "list[tuple[int, float]]":
+    """Rank quantized convs by *isolated* int8 noise, worst first.
+
+    For every conv with ``"wq"`` in ``qparams``, compare the quantized conv
+    against the fp32/HIGHEST conv **on the same fp32 input** (taken from a
+    clean fp forward on ``x``), so upstream quantization noise cancels and
+    the relative-L2 error measures only that layer's contribution.  Returns
+    ``[(conv_index, rel_l2), ...]`` sorted descending.
+
+    Measured motivation (perf/int8_attrib_cpu_r3.jsonl, yolov3 @416): the
+    noisiest convs are the post-route-concat 1x1s (mixed-scale concat
+    inputs defeat per-tensor activation scales) and the head-trunk convs;
+    skipping the top-8 recovered post-NMS set agreement vs fp32/HIGHEST
+    from 0.894 to 0.936 at +9 pts skipped-FLOP share.  Exposed to serving
+    via ``Detector(quant_skip_noisy=K)`` / CLI ``--int8-skip-noisy K``.
+
+    ``x`` is one (or a few) letterboxed (N, H, W, 3) f32 canvases — noise
+    ranking is stable on a single image; keeping N small bounds the memory
+    of materializing every conv input."""
+    import jax
+    import numpy as np
+
+    from ..models.darknet import _conv, build_forward
+
+    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
+    _, stats = fwd(fp_params, jnp.asarray(x, jnp.float32))
+
+    ranked: list[tuple[int, float]] = []
+    for layer in spec.layers:
+        if not isinstance(layer, ConvSpec):
+            continue
+        q = qparams.get(layer.index)
+        if q is None or "wq" not in q:
+            continue
+        xin = stats[layer.index]
+        fp = fp_params[layer.index]
+        y_fp = np.asarray(
+            _conv(xin, jnp.asarray(fp["w"], jnp.float32),
+                  jnp.asarray(fp["b"], jnp.float32), layer, jnp.float32,
+                  lax.Precision.HIGHEST), np.float32)
+        y_q = np.asarray(
+            quantized_conv(xin, q["wq"], q["ws"], q["b"], layer,
+                           sx=q.get("sa")), np.float32)
+        denom = float(np.linalg.norm(y_fp.ravel())) or 1.0
+        err = float(np.linalg.norm((y_q - y_fp).ravel())) / denom
+        ranked.append((layer.index, err))
+    ranked.sort(key=lambda t: (-t[1], t[0]))
+    return ranked

@@ -272,8 +272,74 @@ def test_int8_scales_file_write_then_load(assets, tmp_path):
         assert main(argv) == 0
         outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
     saved = _json.load(open(scales))
-    assert saved and all(float(v) > 0 for v in saved.values())
+    # quant_state() format: scales + the resolved skip set (reload
+    # reproduces the exact quantized-conv partition)
+    assert saved["version"] == 1
+    assert saved["scales"] and all(float(v) > 0
+                                   for v in saved["scales"].values())
+    assert isinstance(saved["skip"], list)
     assert outs["calib"] == outs["loaded"]
+
+
+def test_int8_scales_legacy_flat_format_loads(assets, tmp_path):
+    """Pre-quant_state() scale files (flat {idx: scale}) still load, under
+    the default skip policy."""
+    import json as _json
+
+    import pytorch_yolo_tpu as pyt
+
+    det = pyt.Detector.load(assets["cfg"], assets["weights"], quant="w8a8",
+                            quant_calib=[np.zeros((64, 64, 3), np.uint8)])
+    scales = str(tmp_path / "flat.json")
+    with open(scales, "w") as f:
+        _json.dump(det.act_scales(), f)  # legacy: no version/skip wrapper
+    out = str(tmp_path / "det_flat")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--int8", "--int8-scales", scales])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["det_im0.png", "det_im1.png"]
+
+
+def test_int8_skip_noisy_cli(assets, tmp_path):
+    """--int8-skip-noisy K skips the K noisiest quantized convs and the
+    persisted quant_state() skip set reproduces it on reload."""
+    import json as _json
+
+    scales = str(tmp_path / "noisy.json")
+    out = str(tmp_path / "det_noisy")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+               "--int8-skip-noisy", "2", "--int8-scales", scales])
+    assert rc == 0
+    saved = _json.load(open(scales))
+    # baseline (no noisy skip) for the same model/images
+    base = str(tmp_path / "base.json")
+    rc = main(["detect", "--images", assets["imgs"],
+               "--det", str(tmp_path / "det_base"),
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+               "--int8-scales", base])
+    assert rc == 0
+    base_saved = _json.load(open(base))
+    assert len(saved["skip"]) == len(base_saved["skip"]) + 2
+    # re-calibrating over an existing scales file with --int8-skip-noisy
+    # is refused (the persisted skip set would silently win)
+    with pytest.raises(SystemExit, match="already exists"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "det_err"),
+              "--cfg", assets["cfg"], "--weights", assets["weights"],
+              "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+              "--int8-skip-noisy", "2", "--int8-scales", scales])
+
+
+def test_int8_skip_noisy_requires_calib(assets, tmp_path):
+    with pytest.raises(SystemExit, match="requires --int8-calib"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "320",
+              "--int8", "--int8-skip-noisy", "4"])
 
 
 def test_int8_scales_missing_without_calib_errors(assets, tmp_path):

@@ -559,3 +559,61 @@ def test_partial_act_scales_warn_and_fall_back_dynamic(tiny):
     # still serves
     img = np.zeros((64, 64, 3), np.uint8)
     det.detect(img, size=320, conf=0.5)
+
+
+def test_rank_quant_noise_properties(tiny):
+    """rank_quant_noise covers exactly the quantized convs, is sorted
+    descending, and every isolated error is small-but-nonzero (int8 noise,
+    not upstream accumulation)."""
+    from pytorch_yolo_tpu.ops.quant import (collect_act_scales,
+                                            rank_quant_noise)
+
+    spec, params = tiny
+    rng = np.random.default_rng(11)
+    x = rng.random((1, spec.net.height, spec.net.width, 3)).astype(np.float32)
+    scales = collect_act_scales(spec, params, x)
+    qp = quantize_params(spec, params, act_scales=scales)  # skip heads
+    ranked = rank_quant_noise(spec, params, qp, x)
+    quantized = {i for i, p in qp.items() if "wq" in p}
+    assert {i for i, _ in ranked} == quantized
+    errs = [e for _, e in ranked]
+    assert errs == sorted(errs, reverse=True)
+    assert all(0 < e < 0.2 for e in errs)  # isolated 8-bit noise scale
+
+
+def test_detector_quant_skip_noisy(tiny):
+    """quant_skip_noisy=K keeps the K noisiest convs fp (they retain "w"),
+    and the quant_state() round trip reproduces the partition exactly."""
+    import json
+
+    spec, params = tiny
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    base = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_skip_noisy=3)
+    extra = det._quant_skip - base._quant_skip
+    assert len(extra) == 3
+    for i in extra:
+        assert "w" in det.params[i] and "wq" not in det.params[i]
+        assert "wq" in base.params[i]  # was quantized under the base policy
+
+    # quant_state round trip: scales + skip reproduce identical detections
+    state = json.loads(json.dumps(det.quant_state()))
+    assert sorted(state["skip"]) == sorted(int(i) for i in det._quant_skip)
+    revived = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales=state["scales"],
+                           quant_skip_layers=frozenset(state["skip"]))
+    assert revived._quant_skip >= frozenset(state["skip"])
+    a = det.detect(imgs[0], size=320, conf=0.3)
+    b = revived.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+
+
+def test_quant_skip_noisy_requires_calib(tiny):
+    spec, params = tiny
+    with pytest.raises(ValueError, match="quant_skip_noisy requires"):
+        pyt.Detector(spec, params, quant="w8a8", quant_skip_noisy=2,
+                     quant_act_scales={0: 0.02})
