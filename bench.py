@@ -143,11 +143,15 @@ def _ensure_compile_cache() -> None:
         enable_compilation_cache()
 
 
-def _load_detector(model: str, compute_dtype: str, precision: str, rng):
+def _load_detector(model: str, compute_dtype: str, precision: str, rng,
+                   quant_skip_noisy: int = 0):
     """Resolve a bench dtype token (float32 / bfloat16 / int8 / int8s) into
     a loaded Detector plus its display label.  "int8" = dynamic activation
     scales; "int8s" = static scales calibrated on random frames (scale
-    values don't affect throughput)."""
+    values don't affect throughput).  ``quant_skip_noisy=K`` (static modes
+    only) keeps the K noisiest quantized convs fp — the accuracy-recovery
+    knob (perf/int8_attrib_cpu_r3.jsonl); its throughput cost is what the
+    harvest A/B pins."""
     import jax.numpy as jnp
 
     from pytorch_yolo_tpu.api import Detector
@@ -163,8 +167,14 @@ def _load_detector(model: str, compute_dtype: str, precision: str, rng):
         # early-skipped stages and the heads.
         quant, compute_dtype = "w8a8", (
             "bfloat16" if compute_dtype == "int8sb" else "float32")
+    if quant_skip_noisy and calib is None:
+        raise ValueError("quant_skip_noisy needs a static-calibrated int8 "
+                         "token (int8s/int8sb)")
+    if quant_skip_noisy:
+        label = f"{label}+noisy{quant_skip_noisy}"
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
-                        precision=precision, quant=quant, quant_calib=calib)
+                        precision=precision, quant=quant, quant_calib=calib,
+                        quant_skip_noisy=quant_skip_noisy)
     return det, label
 
 
@@ -235,7 +245,8 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
 
 def measure_compute(model: str, size: int, batch: int, iters: int,
                     compute_dtype: str, precision: str,
-                    max_det: int = 300, chain: int = 1) -> float:
+                    max_det: int = 300, chain: int = 1,
+                    quant_skip_noisy: int = 0) -> float:
     """On-chip pipeline throughput with device-resident input (no H2D).
 
     Isolates what the chip can actually do (letterbox+forward+decode+NMS)
@@ -260,7 +271,8 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     if chain < 1:
         raise ValueError(f"chain must be >= 1, got {chain}")
     rng = np.random.default_rng(0)
-    det, dtype_label = _load_detector(model, compute_dtype, precision, rng)
+    det, dtype_label = _load_detector(model, compute_dtype, precision, rng,
+                                      quant_skip_noisy=quant_skip_noisy)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,

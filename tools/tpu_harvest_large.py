@@ -12,7 +12,10 @@ geometry (CPU-parity-tested in tests/test_new_coords.py):
   6. yolov3 b192/b256 frontier rows,
   7. yolov4-p7 first hardware rows (@640 b8 + native @1536 b1, bf16),
   8. v4-family early-skip int8sb A/B (mish stems default to quantize-all;
-     banked int8 rows lose to bf16 — does the stride<8 skip flip that?).
+     banked int8 rows lose to bf16 — does the stride<8 skip flip that?),
+  9. int8sb noisy-skip throughput A/B (accuracy side CPU-measured:
+     skip-top8 recovers agreement 0.894->0.936, perf/int8_attrib_cpu_r3
+     — this pins its hardware speed cost vs plain int8sb).
 
   python tools/tpu_harvest_large.py [--retries 5] [--timeout 7200] \
       [--out perf/large_r3.jsonl]
@@ -191,6 +194,19 @@ guard(17, "yolov3_int8sb_b128_chain8",
 guard(18, "p6_bf16_1280_b2",
       lambda: bench.measure_compute("yolov4-p6", 1280, 2, 5,
                                     "bfloat16", "default"))
+
+# ---- 9. noisy-skip int8sb speed cost (same-session control pair) -----------
+# The accuracy recovery is CPU-measured and transfers (exact int8 math);
+# what only hardware can answer is the throughput cost of keeping the 8
+# noisiest convs (the post-route-concat 1x1s + head trunk) in bf16.
+
+guard(19, "yolov3_int8sb_b64_control",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "int8sb", "default"))
+guard(20, "yolov3_int8sb_noisy8_b64",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "int8sb", "default",
+                                    quant_skip_noisy=8))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
