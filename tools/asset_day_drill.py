@@ -168,7 +168,9 @@ def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
     report identical accuracy numbers (calibrate once, serve many)."""
     scales = os.path.join(drill_dir, f"{model}.int8-scales.json")
     outs = []
-    for extra in (["--int8-calib", img_dir], []):
+    # --int8-skip-noisy rehearses the full accuracy stack: the persisted
+    # quant_state() skip set must make the reload bit-identical too.
+    for extra in (["--int8-calib", img_dir, "--int8-skip-noisy", "4"], []):
         proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
                      "--model", model, "--reso", str(reso),
                      "--confidence", "0.005", "--nms_thresh", "0.45",
@@ -184,8 +186,10 @@ def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
         raise SystemExit(f"persisted-scales run diverged from calibration "
                          f"run: {outs[0]['mAP@0.5']} vs {outs[1]['mAP@0.5']}")
     with open(scales) as f:
-        n_scales = len(json.load(f))
+        state = json.load(f)
+    n_scales = len(state["scales"]) if "scales" in state else len(state)
     return {"scales": scales, "n_scales": n_scales,
+            "n_skip": len(state.get("skip", ())),
             "map_int8sb": outs[1]["mAP@0.5"]}
 
 

@@ -132,7 +132,7 @@ def main() -> None:
          skipped=sorted(int(i) for i in det_q._quant_skip))
 
     need_ranking = args.configs is None or any(
-        c.startswith("int8sb+skip-top") for c in args.configs)
+        "skip-top" in c for c in args.configs)
     ranked: list[dict] = []
     if not need_ranking:
         emit(args.out, step="attribution_skipped",
@@ -217,6 +217,15 @@ def main() -> None:
         "quant": "w8a8", "quant_calib": imgs[:2],
         "quant_calib_percentile": 99.9,
         "skip_flop_share": round(base_cost, 4)}))
+    # combined: outlier-robust scales AND the noisiest convs kept fp —
+    # are the two recoveries additive?
+    for k in args.topk:
+        extra = frozenset(r["conv"] for r in ranked[:k])
+        kw = cfg_skip(extra)
+        kw.update(compute_dtype=jnp.bfloat16, precision="default",
+                  quant="w8a8", quant_calib=imgs[:2],
+                  quant_calib_percentile=99.9)
+        ladder.append((f"int8sb+p99.9+skip-top{k}", kw))
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:
