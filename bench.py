@@ -144,7 +144,8 @@ def _ensure_compile_cache() -> None:
 
 
 def _load_detector(model: str, compute_dtype: str, precision: str, rng,
-                   quant_skip_noisy: int = 0):
+                   quant_skip_noisy: int = 0,
+                   quant_split_concat: bool = False):
     """Resolve a bench dtype token (float32 / bfloat16 / int8 / int8s) into
     a loaded Detector plus its display label.  "int8" = dynamic activation
     scales; "int8s" = static scales calibrated on random frames (scale
@@ -167,14 +168,17 @@ def _load_detector(model: str, compute_dtype: str, precision: str, rng,
         # early-skipped stages and the heads.
         quant, compute_dtype = "w8a8", (
             "bfloat16" if compute_dtype == "int8sb" else "float32")
-    if quant_skip_noisy and calib is None:
-        raise ValueError("quant_skip_noisy needs a static-calibrated int8 "
-                         "token (int8s/int8sb)")
+    if (quant_skip_noisy or quant_split_concat) and calib is None:
+        raise ValueError("quant_skip_noisy/quant_split_concat need a "
+                         "static-calibrated int8 token (int8s/int8sb)")
     if quant_skip_noisy:
         label = f"{label}+noisy{quant_skip_noisy}"
+    if quant_split_concat:
+        label = f"{label}+splitcat"
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
                         precision=precision, quant=quant, quant_calib=calib,
-                        quant_skip_noisy=quant_skip_noisy)
+                        quant_skip_noisy=quant_skip_noisy,
+                        quant_split_concat=quant_split_concat)
     return det, label
 
 
@@ -246,7 +250,8 @@ def measure_tpu_pipelined(model: str, size: int, batch: int, iters: int,
 def measure_compute(model: str, size: int, batch: int, iters: int,
                     compute_dtype: str, precision: str,
                     max_det: int = 300, chain: int = 1,
-                    quant_skip_noisy: int = 0) -> float:
+                    quant_skip_noisy: int = 0,
+                    quant_split_concat: bool = False) -> float:
     """On-chip pipeline throughput with device-resident input (no H2D).
 
     Isolates what the chip can actually do (letterbox+forward+decode+NMS)
@@ -271,8 +276,10 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     if chain < 1:
         raise ValueError(f"chain must be >= 1, got {chain}")
     rng = np.random.default_rng(0)
-    det, dtype_label = _load_detector(model, compute_dtype, precision, rng,
-                                      quant_skip_noisy=quant_skip_noisy)
+    det, dtype_label = _load_detector(
+        model, compute_dtype, precision, rng,
+        quant_skip_noisy=quant_skip_noisy,
+        quant_split_concat=quant_split_concat)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,

@@ -113,6 +113,7 @@ class Detector:
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
         quant_skip_noisy: int = 0,
+        quant_split_concat: bool = False,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> None:
         self.spec = spec
@@ -139,6 +140,12 @@ class Detector:
                 "attribution runs the fp calibration forward); with "
                 "persisted scales the skip set persists alongside them "
                 "(quant_state())")
+        if quant_split_concat and quant_calib is None:
+            raise ValueError(
+                "quant_split_concat requires quant_calib images (per-branch "
+                "scales come from the calibration forward); persisted scale "
+                "files carry the per-branch lists and reload them "
+                "automatically")
         self._quant_skip: frozenset[int] = frozenset()
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
@@ -175,8 +182,10 @@ class Detector:
                     raise ValueError("pass either quant_calib (images) or "
                                      "quant_act_scales (persisted scales), "
                                      "not both")
-                act_scales = {int(k): float(v)
-                              for k, v in quant_act_scales.items()}
+                act_scales = {
+                    int(k): ([float(s) for s in v]
+                             if isinstance(v, (list, tuple)) else float(v))
+                    for k, v in quant_act_scales.items()}
             elif quant_calib is not None:
                 # Static activation scales: run the fp32 forward once on the
                 # letterboxed calibration images; the compiled int8 program
@@ -200,9 +209,21 @@ class Detector:
                     letterbox_host(_normalize_channels(im), s,
                                    bgr=quant_calib_bgr, method=interp)[0]
                     for im in quant_calib])
+                concat_groups = None
+                if quant_split_concat:
+                    # Per-branch scales for route-concat convs — the
+                    # measured worst int8 noise source (the bimodal concat
+                    # magnitudes, perf/int8_attrib_cpu_r3.jsonl); same MXU
+                    # FLOPs (ops/quant.quantized_conv split path).
+                    from .ops.quant import concat_split_groups
+
+                    concat_groups = {
+                        i: g for i, g in concat_split_groups(spec).items()
+                        if i not in quant_skip_layers}
                 act_scales = collect_act_scales(
                     spec, params, canvases, margin=quant_calib_margin,
-                    percentile=quant_calib_percentile)
+                    percentile=quant_calib_percentile,
+                    concat_groups=concat_groups)
                 if quant_skip_noisy:
                     # Calibration-time noise attribution: quantize once
                     # under the base policy, rank each quantized conv's
@@ -229,7 +250,8 @@ class Detector:
                 # another leave the uncovered convs silently dynamic (and
                 # the resident-chain fast path off for them) — say so.
                 missing = sorted(k for k, p in params.items()
-                                 if "wq" in p and "sa" not in p)
+                                 if "wq" in p and "sa" not in p
+                                 and "sag" not in p)
                 if missing:
                     import warnings
 
@@ -347,6 +369,7 @@ class Detector:
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
         quant_skip_noisy: int = 0,
+        quant_split_concat: bool = False,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
@@ -375,17 +398,24 @@ class Detector:
                   quant_calib_margin=quant_calib_margin,
                   quant_calib_percentile=quant_calib_percentile,
                   quant_skip_noisy=quant_skip_noisy,
+                  quant_split_concat=quant_split_concat,
                   quant_act_scales=quant_act_scales)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
 
-    def act_scales(self) -> "dict[int, float]":
+    def act_scales(self) -> "dict[int, float | list[float]]":
         """The static int8 activation scales baked into the params (one per
-        statically-quantized conv).  Persist as JSON and hand back to
-        ``load(..., quant_act_scales=...)`` to serve without re-running the
-        calibration forward (calibrate once, serve many times)."""
-        return {idx: float(np.asarray(p["sa"]))
-                for idx, p in self.params.items() if "sa" in p}
+        statically-quantized conv; a *list* of per-branch scales for
+        split-concat convs — quant_split_concat).  Persist as JSON and hand
+        back to ``load(..., quant_act_scales=...)`` to serve without
+        re-running the calibration forward (calibrate once, serve many)."""
+        out: dict = {}
+        for idx, p in self.params.items():
+            if "sa" in p:
+                out[idx] = float(np.asarray(p["sa"]))
+            elif "sag" in p:
+                out[idx] = [float(s) for s in np.asarray(p["sag"])]
+        return out
 
     def quant_state(self) -> dict:
         """JSON-ready static-int8 serving state: the calibrated activation

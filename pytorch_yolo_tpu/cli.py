@@ -84,6 +84,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "K=8 recovers post-NMS agreement 0.894->0.936 for "
                         "~9 pts of skipped FLOPs; the worst offenders are "
                         "the post-route-concat 1x1 convs)")
+    p.add_argument("--int8-split-concat", action="store_true",
+                   help="with --int8-calib: give each branch of a "
+                        "route-concat conv input its own calibrated scale "
+                        "(the conv splits along the reduction dim on the "
+                        "int8 MXU — same FLOPs).  Targets the measured "
+                        "worst int8 noise source: bimodal concat "
+                        "magnitudes defeating per-tensor scales")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "
@@ -181,16 +188,21 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-skip-noisy requires --int8-calib DIR "
                          "(noise attribution runs on the calibration "
                          "images)")
+    if getattr(args, "int8_split_concat", False) and not calib_dir:
+        raise SystemExit("--int8-split-concat requires --int8-calib DIR "
+                         "(per-branch scales come from the calibration "
+                         "images)")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
         if scales_path and os.path.exists(scales_path):
-            if getattr(args, "int8_skip_noisy", 0):
+            if getattr(args, "int8_skip_noisy", 0) or \
+                    getattr(args, "int8_split_concat", False):
                 raise SystemExit(
-                    "--int8-skip-noisy needs a calibration run; "
-                    f"{scales_path} already exists and its persisted skip "
-                    "set applies — delete it to re-calibrate")
+                    "--int8-skip-noisy/--int8-split-concat need a "
+                    f"calibration run; {scales_path} already exists and its "
+                    "persisted state applies — delete it to re-calibrate")
             with open(scales_path, "r", encoding="utf-8") as f:
                 state = json.load(f)
             if isinstance(state, dict) and "scales" in state:
@@ -211,7 +223,9 @@ def _build_detector(args) -> Detector:
                       quant_calib_margin=getattr(args, "int8_calib_margin", 1.0),
                       quant_calib_percentile=getattr(
                           args, "int8_calib_percentile", None),
-                      quant_skip_noisy=getattr(args, "int8_skip_noisy", 0))
+                      quant_skip_noisy=getattr(args, "int8_skip_noisy", 0),
+                      quant_split_concat=getattr(
+                          args, "int8_split_concat", False))
         elif scales_path:
             raise SystemExit(f"--int8-scales {scales_path}: file does not "
                              "exist and no --int8-calib DIR given to "

@@ -329,11 +329,17 @@ def build_forward(
         # which convs may hand int8 straight to the next conv).  Env
         # kill-switch mirrors PYTORCH_YOLO_NO_PALLAS for on-hardware A/B.
         chains: dict[int, int] = {}
-        if quant is not None and os.environ.get(
-                "PYTORCH_YOLO_NO_INT8_RESIDENT") != "1":
-            from ..ops.quant import int8_resident_chains
+        split_groups: dict[int, tuple[int, ...]] = {}
+        if quant is not None:
+            if os.environ.get("PYTORCH_YOLO_NO_INT8_RESIDENT") != "1":
+                from ..ops.quant import int8_resident_chains
 
-            chains = int8_resident_chains(spec, params)
+                chains = int8_resident_chains(spec, params)
+            # split-concat convs carry per-branch scales ("sag") — the
+            # concat channel boundaries come from the spec at trace time
+            from ..ops.quant import concat_split_groups
+
+            split_groups = concat_split_groups(spec)
         start = 0
         def _packed_conv0(xx):
             # Packed at trace time from the canonical params (tiny slice
@@ -390,7 +396,10 @@ def build_forward(
                     x = quantized_conv(
                         x, p["wq"], p["ws"], p["b"], layer, sx=p.get("sa"),
                         out_scale=(params[out_idx]["sa"]
-                                   if out_idx is not None else None))
+                                   if out_idx is not None else None),
+                        sxg=p.get("sag"),
+                        splits=(split_groups.get(layer.index)
+                                if "sag" in p else None))
                 else:
                     x = _conv(x, p["w"], p["b"], layer, dtype, precision)
             elif isinstance(layer, MaxPoolSpec):

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import (ConvSpec, MaxPoolSpec, ModelSpec, RegionSpec,
-                      UpsampleSpec, YoloSpec)
+                      RouteSpec, UpsampleSpec, YoloSpec)
 
 _QEPS = 1e-12  # guards all-zero tensors (sx would otherwise be 0)
 
@@ -87,6 +87,29 @@ def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:
     therefore faster AND lower-drift."""
     return frozenset(i for i, s in conv_input_strides(spec).items()
                      if s < min_stride)
+
+
+def concat_split_groups(spec: ModelSpec) -> "dict[int, tuple[int, ...]]":
+    """Convs whose input is a multi-source route concat → per-source
+    channel widths (the concat boundaries).
+
+    These are the measured worst int8 offenders (rank_quant_noise /
+    perf/int8_attrib_cpu_r3.jsonl: yolov3 convs 87 and 99 — an
+    upsampled-deep tensor concatenated with a skip-shallow tensor has
+    bimodal magnitude statistics, so ONE per-tensor activation scale
+    wastes int8 steps on whichever branch is smaller).  The split-concat
+    quantized conv (``quantized_conv(sxg=, splits=)``) gives each branch
+    its own calibrated scale and merges the int32 accumulators in the
+    epilogue — same MXU FLOPs, no fp fallback."""
+    out: dict[int, tuple[int, ...]] = {}
+    for layer in spec.layers:
+        if not isinstance(layer, ConvSpec) or layer.index == 0:
+            continue
+        prev = spec.layers[layer.index - 1]
+        if isinstance(prev, RouteSpec) and len(prev.layers) > 1:
+            out[layer.index] = tuple(
+                spec.out_channels[j] // prev.groups for j in prev.layers)
+    return out
 
 
 def resolve_skip_layers(spec: ModelSpec,
@@ -155,15 +178,24 @@ def quantize_params(spec: ModelSpec, params: dict,
             # max (not +): keeps a zero/degenerate scale positive while
             # making save->load->save round trips idempotent — an additive
             # epsilon would drift the persisted scale every cycle.
-            q["sa"] = jnp.asarray(max(float(act_scales[layer.index]), _QEPS),
-                                  jnp.float32)
+            sv = act_scales[layer.index]
+            if isinstance(sv, (list, tuple)):
+                # per-branch scales for a route-concat input
+                # (collect_act_scales(concat_groups=)) — the split-concat
+                # quantized conv consumes these as "sag"
+                q["sag"] = jnp.asarray([max(float(s), _QEPS) for s in sv],
+                                       jnp.float32)
+            else:
+                q["sa"] = jnp.asarray(max(float(sv), _QEPS), jnp.float32)
         out[layer.index] = q
     return out
 
 
 def collect_act_scales(spec: ModelSpec, params: dict, x,
                        margin: float = 1.0,
-                       percentile: "float | None" = None) -> "dict[int, float]":
+                       percentile: "float | None" = None,
+                       concat_groups: "dict[int, tuple[int, ...]] | None" = None,
+                       ):
     """Calibrate static activation scales: run the fp32 forward on a batch
     of letterboxed calibration inputs and record each conv's input range.
 
@@ -180,24 +212,57 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     saturates to ±127, which symmetric int8 handles gracefully).
 
     ``margin`` multiplies the observed range (>1 leaves headroom for
-    activations outside the calibration set)."""
+    activations outside the calibration set).
+
+    ``concat_groups`` (from :func:`concat_split_groups`) switches the
+    listed convs to **per-branch** scales: the returned value for those
+    indices is a list of per-group scales (group g = channel slice of the
+    route concat) instead of one float — consumed by
+    :func:`quantize_params` as ``"sag"``.  Group scales always come from
+    per-channel statistics max-reduced over the group (exact for max
+    calibration; for percentile calibration each channel's percentile is
+    taken first, so the group scale is the max of per-channel percentiles
+    — slightly conservative vs a whole-group percentile)."""
     import jax
     import numpy as np
 
     from ..models.darknet import build_forward
 
     if percentile is None:
-        stat = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(1, t.ndim)))
+        stat1 = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(1, t.ndim)))
+        statc = lambda t: jnp.max(jnp.abs(t),
+                                  axis=tuple(range(0, t.ndim - 1)))
     else:
         if not 0.0 < percentile <= 100.0:
             raise ValueError(f"percentile must be in (0, 100], got {percentile}")
-        stat = lambda t: jnp.percentile(jnp.abs(t), percentile)
+        stat1 = lambda t: jnp.percentile(jnp.abs(t), percentile)
+        statc = lambda t: jnp.percentile(jnp.abs(t), percentile,
+                                         axis=tuple(range(0, t.ndim - 1)))
+    stat = (lambda t: (stat1(t), statc(t))) if concat_groups else stat1
     # jit: one compiled program (persistent-cache-friendly) instead of ~75
     # eager per-op dispatches at Detector construction.
     fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
     _, stats = fwd(params, jnp.asarray(x, jnp.float32))
-    return {idx: float(np.max(np.asarray(v))) * margin / 127.0 + _QEPS
-            for idx, v in stats.items()}
+    scales: dict = {}
+    for idx, v in stats.items():
+        whole = v[0] if concat_groups else v
+        if concat_groups and idx in concat_groups:
+            per_ch = np.asarray(v[1], np.float32)
+            splits = concat_groups[idx]
+            if int(per_ch.shape[-1]) != sum(splits):
+                raise ValueError(
+                    f"conv {idx}: concat split {splits} does not cover its "
+                    f"{per_ch.shape[-1]} input channels")
+            gs, off = [], 0
+            for c in splits:
+                gs.append(float(per_ch[off:off + c].max())
+                          * margin / 127.0 + _QEPS)
+                off += c
+            scales[idx] = gs
+        else:
+            scales[idx] = float(np.max(np.asarray(whole))) * margin / 127.0 \
+                + _QEPS
+    return scales
 
 
 def int8_resident_chains(spec: ModelSpec, params: dict) -> "dict[int, int]":
@@ -250,7 +315,9 @@ def int8_resident_chains(spec: ModelSpec, params: dict) -> "dict[int, int]":
 def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
                    b: jnp.ndarray, spec: ConvSpec,
                    sx: jnp.ndarray | None = None,
-                   out_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+                   out_scale: jnp.ndarray | None = None,
+                   sxg: jnp.ndarray | None = None,
+                   splits: "tuple[int, ...] | None" = None) -> jnp.ndarray:
     """One W8A8 conv: per-tensor activation quant (dynamic ``max|x|`` when
     ``sx`` is None, static calibrated scale otherwise), int32 MXU
     accumulation, per-channel rescale + bias + (leaky) activation, fp32 out.
@@ -263,24 +330,53 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
     fused register-resident expression and writes int8, quartering the
     activation HBM traffic between directly-chained convs.  LeakyReLU is
     positively homogeneous (``leaky(y/s) == leaky(y)/s`` for ``s > 0``),
-    so requantizing before the activation is exact up to fp reassociation."""
-    if x.dtype == jnp.int8:
-        if sx is None:
-            raise ValueError("int8-resident input requires a static scale")
-        xq = x
-    else:
-        x = x.astype(jnp.float32)
-        if sx is None:
-            sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
-        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    so requantizing before the activation is exact up to fp reassociation.
+
+    **Split-concat variant** (``sxg`` + ``splits``, from
+    :func:`concat_split_groups`): the input is a route concat whose
+    branches have bimodal magnitudes — the measured worst int8 noise
+    source (perf/int8_attrib_cpu_r3.jsonl).  Each channel group g is
+    quantized at its own calibrated scale ``sxg[g]``, convolved over the
+    matching kernel slice on the int8 MXU, and the partial accumulators
+    merge in fp32: ``y = (Σ_g acc_g·sxg[g])·ws + b`` — a conv split along
+    the reduction dim costs the same MACs, so accuracy is recovered at
+    zero FLOP cost (vs skipping the conv entirely at fp rate)."""
     p = spec.padding
-    acc = lax.conv_general_dilated(
-        xq, wq,
-        window_strides=(spec.stride, spec.stride),
-        padding=((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
+
+    def _mxu(xq, w):
+        return lax.conv_general_dilated(
+            xq, w,
+            window_strides=(spec.stride, spec.stride),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    if sxg is not None and splits is not None and x.dtype != jnp.int8:
+        if sum(splits) != x.shape[-1]:
+            raise ValueError(f"concat splits {splits} do not cover the "
+                             f"{x.shape[-1]} input channels")
+        x = x.astype(jnp.float32)
+        acc, off = None, 0
+        for g, c in enumerate(splits):
+            s = sxg[g]
+            xqg = jnp.clip(jnp.round(x[..., off:off + c] / s),
+                           -127, 127).astype(jnp.int8)
+            part = _mxu(xqg, wq[:, :, off:off + c, :]).astype(jnp.float32) * s
+            acc = part if acc is None else acc + part
+            off += c
+        sx = jnp.float32(1.0)  # per-group scales already folded into acc
+    else:
+        if x.dtype == jnp.int8:
+            if sx is None:
+                raise ValueError("int8-resident input requires a static scale")
+            xq = x
+        else:
+            x = x.astype(jnp.float32)
+            if sx is None:
+                sx = jnp.max(jnp.abs(x)) / 127.0 + _QEPS
+            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        acc = _mxu(xq, wq)
     from ..models.darknet import apply_activation
 
     if out_scale is not None:
@@ -329,6 +425,7 @@ def rank_quant_noise(spec: ModelSpec, fp_params: dict, qparams: dict,
     fwd = jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
     _, stats = fwd(fp_params, jnp.asarray(x, jnp.float32))
 
+    groups = concat_split_groups(spec)
     ranked: list[tuple[int, float]] = []
     for layer in spec.layers:
         if not isinstance(layer, ConvSpec):
@@ -344,7 +441,9 @@ def rank_quant_noise(spec: ModelSpec, fp_params: dict, qparams: dict,
                   lax.Precision.HIGHEST), np.float32)
         y_q = np.asarray(
             quantized_conv(xin, q["wq"], q["ws"], q["b"], layer,
-                           sx=q.get("sa")), np.float32)
+                           sx=q.get("sa"), sxg=q.get("sag"),
+                           splits=(groups.get(layer.index)
+                                   if "sag" in q else None)), np.float32)
         denom = float(np.linalg.norm(y_fp.ravel())) or 1.0
         err = float(np.linalg.norm((y_q - y_fp).ravel())) / denom
         ranked.append((layer.index, err))

@@ -49,7 +49,7 @@ def test_chain_rejects_nothing_but_counts_iterations(monkeypatch):
             return fn
 
     monkeypatch.setattr(bench, "_load_detector",
-                        lambda *a: (_Det(), "float32"))
+                        lambda *a, **kw: (_Det(), "float32"))
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(t))
     # chain=1 path only (the fori_loop path needs real jax arrays).  The
     # patched clock ticks 1s per perf_counter call and measure_compute

@@ -383,3 +383,31 @@ def test_jax_platforms_env_honored_in_subprocess():
         capture_output=True, text=True, env=env, timeout=300)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "cpu"
+
+
+def test_int8_split_concat_cli(assets, tmp_path):
+    """--int8-split-concat calibrates per-branch scales for the concat
+    conv (persisted as a list in the quant_state file) and the reload
+    reproduces detections exactly."""
+    import json as _json
+
+    scales = str(tmp_path / "split.json")
+    outs = {}
+    for tag in ("calib", "loaded"):
+        out = str(tmp_path / f"det_split_{tag}")
+        argv = ["detect", "--images", assets["imgs"], "--det", out,
+                "--cfg", assets["cfg"], "--weights", assets["weights"],
+                "--reso", "320", "--int8", "--int8-scales", scales,
+                "--save-json"]
+        if tag == "calib":
+            argv += ["--int8-calib", assets["imgs"], "--int8-split-concat"]
+        assert main(argv) == 0
+        outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
+    saved = _json.load(open(scales))
+    assert isinstance(saved["scales"]["21"], list)  # tiny's concat conv
+    assert outs["calib"] == outs["loaded"]
+    with pytest.raises(SystemExit, match="requires --int8-calib"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "320",
+              "--int8", "--int8-split-concat"])

@@ -617,3 +617,97 @@ def test_quant_skip_noisy_requires_calib(tiny):
     with pytest.raises(ValueError, match="quant_skip_noisy requires"):
         pyt.Detector(spec, params, quant="w8a8", quant_skip_noisy=2,
                      quant_act_scales={0: 0.02})
+
+
+def test_concat_split_groups_families():
+    """Split map = convs fed by multi-source route concats, with the
+    per-source channel widths (yolov3: exactly the two measured-worst int8
+    convs, perf/int8_attrib_cpu_r3.jsonl)."""
+    from pytorch_yolo_tpu.models.zoo import model_spec
+    from pytorch_yolo_tpu.ops.quant import concat_split_groups
+
+    assert concat_split_groups(model_spec("yolov3")) == {
+        87: (256, 512), 99: (128, 256)}
+    assert concat_split_groups(model_spec("yolov3-tiny")) == {21: (128, 256)}
+    # SPP's 4-way maxpool concat qualifies too (yolov4 conv 114)
+    v4 = concat_split_groups(model_spec("yolov4"))
+    assert v4[114] == (512, 512, 512, 512)
+
+
+def test_split_concat_conv_exactness(tiny):
+    """The split path is the plain quantized conv when every branch uses
+    the same scale, and strictly more accurate when branch magnitudes are
+    bimodal and scales are calibrated per branch."""
+    from pytorch_yolo_tpu.ops.quant import quantize_params, quantized_conv
+    from pytorch_yolo_tpu.models.darknet import _conv
+
+    spec, params = tiny
+    idx, splits = 21, (128, 256)
+    layer = spec.layers[idx]
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 10, 10, 384)).astype(np.float32)
+    x[..., :128] *= 20.0  # bimodal: branch A 20x louder than branch B
+
+    qp = quantize_params(spec, params, skip_layers=())[idx]
+    sx = jnp.float32(np.abs(x).max() / 127.0)
+    y_scalar = quantized_conv(jnp.asarray(x), qp["wq"], qp["ws"], qp["b"],
+                              layer, sx=sx)
+    # same scale in both groups == the scalar path (up to f32 reassociation
+    # of the two partial accumulators)
+    y_same = quantized_conv(jnp.asarray(x), qp["wq"], qp["ws"], qp["b"],
+                            layer, sxg=jnp.asarray([sx, sx]), splits=splits)
+    np.testing.assert_allclose(np.asarray(y_same), np.asarray(y_scalar),
+                               rtol=2e-6, atol=1e-4)
+
+    # per-branch scales: quieter branch gets a finer grid -> lower error
+    sxg = jnp.asarray([np.abs(x[..., :128]).max() / 127.0,
+                       np.abs(x[..., 128:]).max() / 127.0], jnp.float32)
+    y_split = quantized_conv(jnp.asarray(x), qp["wq"], qp["ws"], qp["b"],
+                             layer, sxg=sxg, splits=splits)
+    y_fp = _conv(jnp.asarray(x), jnp.asarray(params[idx]["w"]),
+                 jnp.asarray(params[idx]["b"]), layer, jnp.float32,
+                 jax.lax.Precision.HIGHEST)
+    err_scalar = float(jnp.linalg.norm(y_scalar - y_fp))
+    err_split = float(jnp.linalg.norm(y_split - y_fp))
+    # The loud branch's own quantization noise is the error floor of BOTH
+    # paths (its scale is its own max either way); the split removes the
+    # quiet branch's coarse-grid error on top of that floor (measured here:
+    # ~30 -> ~21, i.e. the quiet branch's error term essentially vanishes).
+    assert err_split < 0.8 * err_scalar, (err_split, err_scalar)
+
+    with pytest.raises(ValueError, match="do not cover"):
+        quantized_conv(jnp.asarray(x), qp["wq"], qp["ws"], qp["b"], layer,
+                       sxg=sxg, splits=(128, 128))
+
+
+def test_detector_split_concat_end_to_end(tiny):
+    """quant_split_concat=True calibrates per-branch scales for the concat
+    conv, serves, and the persisted quant_state (list-valued scales)
+    round-trips bit-identically."""
+    import json
+
+    spec, params = tiny
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_split_concat=True)
+    assert "sag" in det.params[21] and "sa" not in det.params[21]
+    assert det.params[21]["sag"].shape == (2,)
+
+    state = json.loads(json.dumps(det.quant_state()))
+    assert isinstance(state["scales"]["21"], list)
+    revived = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales=state["scales"],
+                           quant_skip_layers=frozenset(state["skip"]))
+    a = det.detect(imgs[0], size=320, conf=0.3)
+    b = revived.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+    np.testing.assert_array_equal(a.cls_id, b.cls_id)
+
+
+def test_split_concat_requires_calib(tiny):
+    spec, params = tiny
+    with pytest.raises(ValueError, match="quant_split_concat requires"):
+        pyt.Detector(spec, params, quant="w8a8", quant_split_concat=True)

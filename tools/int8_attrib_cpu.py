@@ -226,6 +226,14 @@ def main() -> None:
                   quant="w8a8", quant_calib=imgs[:2],
                   quant_calib_percentile=99.9)
         ladder.append((f"int8sb+p99.9+skip-top{k}", kw))
+    # split-concat: per-branch scales for route-concat convs (the measured
+    # worst offenders) at ZERO skipped FLOPs — ops/quant.quantized_conv
+    # split path.
+    ladder.append(("int8sb+splitcat", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_split_concat": True,
+        "skip_flop_share": round(base_cost, 4)}))
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:

@@ -207,6 +207,13 @@ guard(20, "yolov3_int8sb_noisy8_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_skip_noisy=8))
+# split-concat: per-branch scales for route-concat convs — same MXU MACs
+# as the control (the conv splits along the reduction dim), so this A/B
+# pins whether two K-split convs cost more wall time than one on Mosaic.
+guard(21, "yolov3_int8sb_splitcat_b64",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "int8sb", "default",
+                                    quant_split_concat=True))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
