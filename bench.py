@@ -145,7 +145,8 @@ def _ensure_compile_cache() -> None:
 
 def _load_detector(model: str, compute_dtype: str, precision: str, rng,
                    quant_skip_noisy: int = 0,
-                   quant_split_concat: bool = False):
+                   quant_split_concat: bool = False,
+                   quant_smooth: "float | None" = None):
     """Resolve a bench dtype token (float32 / bfloat16 / int8 / int8s) into
     a loaded Detector plus its display label.  "int8" = dynamic activation
     scales; "int8s" = static scales calibrated on random frames (scale
@@ -168,17 +169,21 @@ def _load_detector(model: str, compute_dtype: str, precision: str, rng,
         # early-skipped stages and the heads.
         quant, compute_dtype = "w8a8", (
             "bfloat16" if compute_dtype == "int8sb" else "float32")
-    if (quant_skip_noisy or quant_split_concat) and calib is None:
-        raise ValueError("quant_skip_noisy/quant_split_concat need a "
-                         "static-calibrated int8 token (int8s/int8sb)")
+    if (quant_skip_noisy or quant_split_concat
+            or quant_smooth is not None) and calib is None:
+        raise ValueError("quant_skip_noisy/quant_split_concat/quant_smooth "
+                         "need a static-calibrated int8 token (int8s/int8sb)")
     if quant_skip_noisy:
         label = f"{label}+noisy{quant_skip_noisy}"
     if quant_split_concat:
         label = f"{label}+splitcat"
+    if quant_smooth is not None:
+        label = f"{label}+smooth{quant_smooth}"
     det = Detector.load(model, compute_dtype=jnp.dtype(compute_dtype),
                         precision=precision, quant=quant, quant_calib=calib,
                         quant_skip_noisy=quant_skip_noisy,
-                        quant_split_concat=quant_split_concat)
+                        quant_split_concat=quant_split_concat,
+                        quant_smooth=quant_smooth)
     return det, label
 
 
@@ -251,7 +256,8 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
                     compute_dtype: str, precision: str,
                     max_det: int = 300, chain: int = 1,
                     quant_skip_noisy: int = 0,
-                    quant_split_concat: bool = False) -> float:
+                    quant_split_concat: bool = False,
+                    quant_smooth: "float | None" = None) -> float:
     """On-chip pipeline throughput with device-resident input (no H2D).
 
     Isolates what the chip can actually do (letterbox+forward+decode+NMS)
@@ -279,7 +285,8 @@ def measure_compute(model: str, size: int, batch: int, iters: int,
     det, dtype_label = _load_detector(
         model, compute_dtype, precision, rng,
         quant_skip_noisy=quant_skip_noisy,
-        quant_split_concat=quant_split_concat)
+        quant_split_concat=quant_split_concat,
+        quant_smooth=quant_smooth)
     imgs = rng.integers(0, 256, size=(batch, 480, 640, 3), dtype=np.uint8)
     dev_imgs = jax.device_put(imgs)
     key = _PipelineKey(batch=batch, orig_h=480, orig_w=640, size=size,

@@ -114,6 +114,7 @@ class Detector:
         quant_calib_percentile: "float | None" = None,
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
+        quant_smooth: "float | None" = None,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> None:
         self.spec = spec
@@ -146,6 +147,16 @@ class Detector:
                 "scales come from the calibration forward); persisted scale "
                 "files carry the per-branch lists and reload them "
                 "automatically")
+        if quant_smooth is not None and quant_calib is None:
+            raise ValueError(
+                "quant_smooth requires quant_calib images (per-channel "
+                "smoothing balances calibrated activation maxima against "
+                "weight ranges); persisted scale files carry the "
+                "per-channel grids and reload them automatically")
+        if quant_smooth is not None and quant_split_concat:
+            raise ValueError(
+                "quant_smooth and quant_split_concat are mutually exclusive "
+                "— per-channel smoothing subsumes per-branch split scales")
         self._quant_skip: frozenset[int] = frozenset()
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
@@ -182,10 +193,16 @@ class Detector:
                     raise ValueError("pass either quant_calib (images) or "
                                      "quant_act_scales (persisted scales), "
                                      "not both")
-                act_scales = {
-                    int(k): ([float(s) for s in v]
-                             if isinstance(v, (list, tuple)) else float(v))
-                    for k, v in quant_act_scales.items()}
+                def _revive(v):
+                    if isinstance(v, dict):  # {"per_channel": [...]} — the
+                        # persisted smoothed grid (quant_state())
+                        return np.asarray(v["per_channel"], np.float32)
+                    if isinstance(v, (list, tuple)):  # per-branch (split)
+                        return [float(s) for s in v]
+                    return float(v)
+
+                act_scales = {int(k): _revive(v)
+                              for k, v in quant_act_scales.items()}
             elif quant_calib is not None:
                 # Static activation scales: run the fp32 forward once on the
                 # letterboxed calibration images; the compiled int8 program
@@ -223,7 +240,8 @@ class Detector:
                 act_scales = collect_act_scales(
                     spec, params, canvases, margin=quant_calib_margin,
                     percentile=quant_calib_percentile,
-                    concat_groups=concat_groups)
+                    concat_groups=concat_groups,
+                    smooth_alpha=quant_smooth)
                 if quant_skip_noisy:
                     # Calibration-time noise attribution: quantize once
                     # under the base policy, rank each quantized conv's
@@ -370,6 +388,7 @@ class Detector:
         quant_calib_percentile: "float | None" = None,
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
+        quant_smooth: "float | None" = None,
         quant_act_scales: "dict[int, float] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
@@ -399,6 +418,7 @@ class Detector:
                   quant_calib_percentile=quant_calib_percentile,
                   quant_skip_noisy=quant_skip_noisy,
                   quant_split_concat=quant_split_concat,
+                  quant_smooth=quant_smooth,
                   quant_act_scales=quant_act_scales)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
@@ -412,7 +432,9 @@ class Detector:
         out: dict = {}
         for idx, p in self.params.items():
             if "sa" in p:
-                out[idx] = float(np.asarray(p["sa"]))
+                sa = np.asarray(p["sa"])
+                out[idx] = (float(sa) if sa.ndim == 0 else
+                            {"per_channel": [float(s) for s in sa]})
             elif "sag" in p:
                 out[idx] = [float(s) for s in np.asarray(p["sag"])]
         return out

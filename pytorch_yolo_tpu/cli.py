@@ -91,6 +91,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "int8 MXU — same FLOPs).  Targets the measured "
                         "worst int8 noise source: bimodal concat "
                         "magnitudes defeating per-tensor scales")
+    p.add_argument("--int8-smooth", type=float, default=None, nargs="?",
+                   const=0.5, metavar="ALPHA",
+                   help="with --int8-calib: SmoothQuant-style per-channel "
+                        "smoothing — each conv input channel gets its own "
+                        "quantization grid, folded into the int8 kernels "
+                        "at calibration (zero runtime FLOPs; ALPHA in "
+                        "[0,1] balances activation vs weight difficulty, "
+                        "default 0.5).  Exclusive with --int8-split-concat")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "
@@ -192,17 +200,23 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-split-concat requires --int8-calib DIR "
                          "(per-branch scales come from the calibration "
                          "images)")
+    if getattr(args, "int8_smooth", None) is not None and not calib_dir:
+        raise SystemExit("--int8-smooth requires --int8-calib DIR "
+                         "(per-channel grids come from the calibration "
+                         "images)")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
         if scales_path and os.path.exists(scales_path):
             if getattr(args, "int8_skip_noisy", 0) or \
-                    getattr(args, "int8_split_concat", False):
+                    getattr(args, "int8_split_concat", False) or \
+                    getattr(args, "int8_smooth", None) is not None:
                 raise SystemExit(
-                    "--int8-skip-noisy/--int8-split-concat need a "
-                    f"calibration run; {scales_path} already exists and its "
-                    "persisted state applies — delete it to re-calibrate")
+                    "--int8-skip-noisy/--int8-split-concat/--int8-smooth "
+                    f"need a calibration run; {scales_path} already exists "
+                    "and its persisted state applies — delete it to "
+                    "re-calibrate")
             with open(scales_path, "r", encoding="utf-8") as f:
                 state = json.load(f)
             if isinstance(state, dict) and "scales" in state:
@@ -225,7 +239,8 @@ def _build_detector(args) -> Detector:
                           args, "int8_calib_percentile", None),
                       quant_skip_noisy=getattr(args, "int8_skip_noisy", 0),
                       quant_split_concat=getattr(
-                          args, "int8_split_concat", False))
+                          args, "int8_split_concat", False),
+                      quant_smooth=getattr(args, "int8_smooth", None))
         elif scales_path:
             raise SystemExit(f"--int8-scales {scales_path}: file does not "
                              "exist and no --int8-calib DIR given to "

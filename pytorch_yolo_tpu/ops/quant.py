@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import Container
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import (ConvSpec, MaxPoolSpec, ModelSpec, RegionSpec,
@@ -168,9 +169,24 @@ def quantize_params(spec: ModelSpec, params: dict,
             out[layer.index] = dict(p)
             continue
         w = jnp.asarray(p["w"], jnp.float32)
+        sv = act_scales.get(layer.index) if act_scales is not None else None
+        if isinstance(sv, np.ndarray) and sv.ndim == 1:
+            # Per-channel smoothed grid (collect_act_scales(smooth_alpha=)):
+            # fold the grid vector into the kernels along C_in — the MXU
+            # dequant then needs only ws (quantized_conv vector-sa path).
+            if sv.shape[0] != w.shape[2]:
+                raise ValueError(
+                    f"conv {layer.index}: per-channel scale vector has "
+                    f"{sv.shape[0]} entries for {w.shape[2]} input channels")
+            v = jnp.asarray(np.maximum(sv, _QEPS), jnp.float32)
+            w = w * v[None, None, :, None]
         ws = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 + _QEPS  # (O,)
         wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
         q = {"wq": wq, "ws": ws, "b": jnp.asarray(p["b"], jnp.float32)}
+        if isinstance(sv, np.ndarray) and sv.ndim == 1:
+            q["sa"] = v
+            out[layer.index] = q
+            continue
         # A conv without a calibrated scale (e.g. scales persisted under a
         # different skip policy) stays dynamic rather than erroring — the
         # caller warns about the coverage gap (api.Detector).
@@ -195,6 +211,7 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
                        margin: float = 1.0,
                        percentile: "float | None" = None,
                        concat_groups: "dict[int, tuple[int, ...]] | None" = None,
+                       smooth_alpha: "float | None" = None,
                        ):
     """Calibrate static activation scales: run the fp32 forward on a batch
     of letterboxed calibration inputs and record each conv's input range.
@@ -222,11 +239,31 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     per-channel statistics max-reduced over the group (exact for max
     calibration; for percentile calibration each channel's percentile is
     taken first, so the group scale is the max of per-channel percentiles
-    — slightly conservative vs a whole-group percentile)."""
+    — slightly conservative vs a whole-group percentile).
+
+    ``smooth_alpha`` (SmoothQuant-style difficulty transfer, typically
+    0.5) switches EVERY conv to a **per-input-channel quantization grid**:
+    the returned value is a (C_in,) vector ``v_c = s_c · sx`` where
+    ``s_c = a_c^α / w_c^(1-α)`` balances activation outliers against
+    weight range per channel (``a_c`` = calibrated per-channel activation
+    max, ``w_c`` = per-input-channel weight max) and
+    ``sx = max_c(a_c/s_c)·margin/127`` is the smoothed tensor's scale.
+    :func:`quantize_params` folds ``v_c`` into the kernels
+    (``w·v_c`` along C_in) so the MXU dequant needs only ``ws`` — runtime
+    cost is a vector (instead of scalar) multiply in the quantizer:
+    zero extra FLOPs on every conv, unlike the concat-only split path.
+    Mutually exclusive with ``concat_groups`` (per-channel subsumes
+    per-group)."""
     import jax
-    import numpy as np
 
     from ..models.darknet import build_forward
+
+    if smooth_alpha is not None and concat_groups:
+        raise ValueError("smooth_alpha and concat_groups are mutually "
+                         "exclusive (per-channel smoothing subsumes "
+                         "per-group split scales)")
+    if smooth_alpha is not None and not 0.0 <= smooth_alpha <= 1.0:
+        raise ValueError(f"smooth_alpha must be in [0, 1], got {smooth_alpha}")
 
     if percentile is None:
         stat1 = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(1, t.ndim)))
@@ -238,15 +275,24 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
         stat1 = lambda t: jnp.percentile(jnp.abs(t), percentile)
         statc = lambda t: jnp.percentile(jnp.abs(t), percentile,
                                          axis=tuple(range(0, t.ndim - 1)))
-    stat = (lambda t: (stat1(t), statc(t))) if concat_groups else stat1
+    per_channel = bool(concat_groups) or smooth_alpha is not None
+    stat = (lambda t: (stat1(t), statc(t))) if per_channel else stat1
     # jit: one compiled program (persistent-cache-friendly) instead of ~75
     # eager per-op dispatches at Detector construction.
     fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
     _, stats = fwd(params, jnp.asarray(x, jnp.float32))
     scales: dict = {}
     for idx, v in stats.items():
-        whole = v[0] if concat_groups else v
-        if concat_groups and idx in concat_groups:
+        whole = v[0] if per_channel else v
+        if smooth_alpha is not None:
+            a_c = np.maximum(np.asarray(v[1], np.float32), _QEPS)
+            w = np.asarray(params[idx].get("w"), np.float32)
+            w_c = np.maximum(np.abs(w).max(axis=(0, 1, 3)), _QEPS)
+            s_c = a_c ** smooth_alpha / w_c ** (1.0 - smooth_alpha)
+            s_c = np.maximum(s_c, _QEPS)
+            sx = float((a_c / s_c).max()) * margin / 127.0 + _QEPS
+            scales[idx] = (s_c * sx).astype(np.float32)
+        elif concat_groups and idx in concat_groups:
             per_ch = np.asarray(v[1], np.float32)
             splits = concat_groups[idx]
             if int(per_ch.shape[-1]) != sum(splits):
@@ -379,6 +425,13 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
         acc = _mxu(xq, wq)
     from ..models.darknet import apply_activation
 
+    # Dequant factor: with a per-channel smoothed grid (sx is a (C_in,)
+    # vector — collect_act_scales(smooth_alpha=)) the grid is already
+    # folded into the kernels, so ws alone dequantizes; the scalar paths
+    # keep sx·ws.  out_scale may itself be a (C_out,) vector (a consumer
+    # with a per-channel grid) — everything below is elementwise over the
+    # channel-minor NHWC layout, so scalars and vectors broadcast alike.
+    deq = ws if getattr(sx, "ndim", 0) == 1 else sx * ws
     if out_scale is not None:
         # Emit int8 at the consumer's calibrated input scale.  leaky/relu
         # are positively homogeneous, so divide first and activate after —
@@ -387,13 +440,13 @@ def quantized_conv(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
         # scale-commuting: activate at the true fp scale, then requantize
         # (still a fused elementwise chain, one extra vector multiply).
         if spec.activation in ("leaky", "relu", "linear"):
-            y = acc.astype(jnp.float32) * (sx * ws / out_scale) + b / out_scale
+            y = acc.astype(jnp.float32) * (deq / out_scale) + b / out_scale
             y = apply_activation(y, spec.activation)
         else:
-            y = apply_activation(acc.astype(jnp.float32) * (sx * ws) + b,
+            y = apply_activation(acc.astype(jnp.float32) * deq + b,
                                  spec.activation) / out_scale
         return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
-    y = acc.astype(jnp.float32) * (sx * ws) + b
+    y = acc.astype(jnp.float32) * deq + b
     return apply_activation(y, spec.activation)
 
 

@@ -411,3 +411,31 @@ def test_int8_split_concat_cli(assets, tmp_path):
               "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
               "--weights", assets["weights"], "--reso", "320",
               "--int8", "--int8-split-concat"])
+
+
+def test_int8_smooth_cli(assets, tmp_path):
+    """--int8-smooth calibrates per-channel grids (persisted as
+    per_channel dicts) and the reload reproduces detections exactly."""
+    import json as _json
+
+    scales = str(tmp_path / "smooth.json")
+    outs = {}
+    for tag in ("calib", "loaded"):
+        out = str(tmp_path / f"det_sm_{tag}")
+        argv = ["detect", "--images", assets["imgs"], "--det", out,
+                "--cfg", assets["cfg"], "--weights", assets["weights"],
+                "--reso", "320", "--int8", "--int8-scales", scales,
+                "--save-json"]
+        if tag == "calib":
+            argv += ["--int8-calib", assets["imgs"], "--int8-smooth"]
+        assert main(argv) == 0
+        outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
+    saved = _json.load(open(scales))
+    assert any(isinstance(v, dict) and "per_channel" in v
+               for v in saved["scales"].values())
+    assert outs["calib"] == outs["loaded"]
+    with pytest.raises(SystemExit, match="requires --int8-calib"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
+              "--weights", assets["weights"], "--reso", "320",
+              "--int8", "--int8-smooth", "0.5"])

@@ -711,3 +711,94 @@ def test_split_concat_requires_calib(tiny):
     spec, params = tiny
     with pytest.raises(ValueError, match="quant_split_concat requires"):
         pyt.Detector(spec, params, quant="w8a8", quant_split_concat=True)
+
+
+def test_smooth_scales_single_conv_numerics(tiny):
+    """Per-channel smoothed grid (SmoothQuant-style): with per-channel
+    bimodal input magnitudes the smoothed conv beats the scalar-scale conv
+    against fp32; with a constant grid it reproduces the scalar path."""
+    from pytorch_yolo_tpu.models.darknet import _conv
+    from pytorch_yolo_tpu.ops.quant import quantize_params, quantized_conv
+
+    spec, params = tiny
+    idx = 4  # plain 3x3 conv, 32 input channels (tiny: conv/pool alternate)
+    layer = spec.layers[idx]
+    cin = params[idx]["w"].shape[2]
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 12, 12, cin)).astype(np.float32)
+    x[..., : cin // 2] *= 25.0  # half the channels 25x louder
+
+    a_c = np.abs(x).max(axis=(0, 1, 2))
+    w_c = np.abs(params[idx]["w"]).max(axis=(0, 1, 3))
+    s_c = np.sqrt(a_c / np.maximum(w_c, 1e-12))
+    sx = float((a_c / s_c).max()) / 127.0
+    vec = (s_c * sx).astype(np.float32)
+
+    qs = quantize_params(spec, params, skip_layers=(),
+                         act_scales={idx: float(a_c.max() / 127.0)})[idx]
+    qv = quantize_params(spec, params, skip_layers=(),
+                         act_scales={idx: vec})[idx]
+    assert np.asarray(qv["sa"]).shape == (cin,)
+    # smoothing folds the grid into the kernels -> different wq than scalar
+    assert not np.array_equal(np.asarray(qv["wq"]), np.asarray(qs["wq"]))
+
+    y_fp = _conv(jnp.asarray(x), jnp.asarray(params[idx]["w"]),
+                 jnp.asarray(params[idx]["b"]), layer, jnp.float32,
+                 jax.lax.Precision.HIGHEST)
+    y_s = quantized_conv(jnp.asarray(x), qs["wq"], qs["ws"], qs["b"],
+                         layer, sx=qs["sa"])
+    y_v = quantized_conv(jnp.asarray(x), qv["wq"], qv["ws"], qv["b"],
+                         layer, sx=qv["sa"])
+    err_s = float(jnp.linalg.norm(y_s - y_fp))
+    err_v = float(jnp.linalg.norm(y_v - y_fp))
+    assert err_v < err_s, (err_v, err_s)
+
+    # constant grid == the scalar path (up to weight-rescale rounding)
+    const = np.full(cin, float(qs["sa"]), np.float32)
+    qc = quantize_params(spec, params, skip_layers=(),
+                         act_scales={idx: const})[idx]
+    y_c = quantized_conv(jnp.asarray(x), qc["wq"], qc["ws"], qc["b"],
+                         layer, sx=qc["sa"])
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_s),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_detector_smooth_end_to_end(tiny):
+    """quant_smooth calibrates per-channel grids for every quantized conv
+    (resident chains included) and the persisted quant_state round-trips
+    bit-identically."""
+    import json
+
+    spec, params = tiny
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_smooth=0.5)
+    vecs = [p["sa"] for p in det.params.values()
+            if "sa" in p and np.asarray(p["sa"]).ndim == 1]
+    assert vecs and all(np.asarray(v).min() > 0 for v in vecs)
+
+    state = json.loads(json.dumps(det.quant_state()))
+    some = next(v for v in state["scales"].values() if isinstance(v, dict))
+    assert "per_channel" in some
+    revived = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales=state["scales"],
+                           quant_skip_layers=frozenset(state["skip"]))
+    a = det.detect(imgs[0], size=320, conf=0.3)
+    b = revived.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+
+
+def test_smooth_validation(tiny):
+    spec, params = tiny
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="quant_smooth requires"):
+        pyt.Detector(spec, params, quant="w8a8", quant_smooth=0.5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
+                     quant_smooth=0.5, quant_split_concat=True)
+    with pytest.raises(ValueError, match="must be in"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
+                     quant_smooth=1.5)

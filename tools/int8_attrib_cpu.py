@@ -234,6 +234,14 @@ def main() -> None:
         "quant": "w8a8", "quant_calib": imgs[:2],
         "quant_split_concat": True,
         "skip_flop_share": round(base_cost, 4)}))
+    # per-channel smoothing (SmoothQuant-style): every conv gets a
+    # per-input-channel grid folded into its kernels — zero runtime FLOPs.
+    for alpha in (0.5, 0.75):
+        ladder.append((f"int8sb+smooth{alpha}", {
+            "compute_dtype": jnp.bfloat16, "precision": "default",
+            "quant": "w8a8", "quant_calib": imgs[:2],
+            "quant_smooth": alpha,
+            "skip_flop_share": round(base_cost, 4)}))
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:

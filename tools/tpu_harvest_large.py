@@ -214,6 +214,12 @@ guard(21, "yolov3_int8sb_splitcat_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_split_concat=True))
+# per-channel smoothed grids: the quantizer multiplies by a (C,) vector
+# instead of a scalar — should be speed-neutral on the VPU; pin it.
+guard(22, "yolov3_int8sb_smooth_b64",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "int8sb", "default",
+                                    quant_smooth=0.5))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
