@@ -361,3 +361,27 @@ def test_run_video_on_mesh_matches_single(mesh, tmp_path):
         assert len(ra.detection) == len(rb.detection)
         np.testing.assert_allclose(ra.detection.boxes, rb.detection.boxes,
                                    rtol=1e-4, atol=1e-2)
+
+
+def test_smooth_int8_on_mesh_matches_single(mesh):
+    """Per-channel smoothed grids (quant_smooth) under GSPMD: the vector
+    `sa` dequant and grid-folded kernels partition over batch exactly like
+    the scalar-scale path — mesh results match single-device."""
+    rng = np.random.default_rng(11)
+    calib = [rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+             for _ in range(2)]
+    det_single = pyt.Detector.load("yolov3-tiny", quant="w8a8",
+                                   quant_calib=calib, quant_smooth=0.5)
+    assert any("sa" in p and np.asarray(p["sa"]).ndim == 1
+               for p in det_single.params.values())
+    det_mesh = pyt.Detector(det_single.spec,
+                            {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                             for k, v in det_single.params.items()},
+                            mesh=mesh)  # pre-quantized smoothed params adopted
+    imgs = np.stack([np.random.default_rng(100 + i).integers(
+        0, 256, (240, 320, 3), dtype=np.uint8) for i in range(8)])
+    r_single = det_single.detect_batch(imgs, size=320, conf=0.4)
+    r_mesh = det_mesh.detect_batch(imgs, size=320, conf=0.4)
+    for a, b in zip(r_single, r_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a.boxes, b.boxes, rtol=1e-4, atol=1e-2)
