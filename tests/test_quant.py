@@ -802,3 +802,30 @@ def test_smooth_validation(tiny):
     with pytest.raises(ValueError, match="must be in"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
                      quant_smooth=1.5)
+
+
+def test_smooth_composes_with_skip_noisy(tiny):
+    """quant_smooth + quant_skip_noisy: ranking runs under the smoothed
+    policy (vector `sa` flows through rank_quant_noise), the K noisiest
+    convs stay fp, and the persisted state revives identically."""
+    import json
+
+    spec, params = tiny
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_smooth=0.5, quant_skip_noisy=2)
+    n_fp_body = sum(1 for p in det.params.values() if "w" in p)
+    det_base = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                            quant_smooth=0.5)
+    n_fp_base = sum(1 for p in det_base.params.values() if "w" in p)
+    assert n_fp_body == n_fp_base + 2  # exactly K extra convs kept fp
+    state = json.loads(json.dumps(det.quant_state()))
+    revived = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales=state["scales"],
+                           quant_skip_layers=frozenset(state["skip"]))
+    a = det.detect(imgs[0], size=320, conf=0.3)
+    b = revived.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)

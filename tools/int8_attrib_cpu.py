@@ -242,6 +242,14 @@ def main() -> None:
             "quant": "w8a8", "quant_calib": imgs[:2],
             "quant_smooth": alpha,
             "skip_flop_share": round(base_cost, 4)}))
+    # smoothing + skip-noisy compose (different mechanisms: per-channel
+    # grids fix concat bimodality, the skip removes residual worst convs;
+    # Detector re-ranks under the smoothed policy internally).
+    ladder.append(("int8sb+smooth0.5+noisy4", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_smooth": 0.5, "quant_skip_noisy": 4,
+        "skip_flop_share": None}))  # resolved skip set is data-dependent
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:
@@ -249,6 +257,10 @@ def main() -> None:
         share = kw.pop("skip_flop_share", None)
         t1 = time.perf_counter()
         det = Detector(spec, host, **kw)
+        if share is None and det._quant_skip:
+            # data-dependent skip set (quant_skip_noisy): read it back
+            share = round(sum(flops[i] for i in det._quant_skip
+                              if i in flops) / total_flops, 4)
         s = measure_mode_drift(ref, det, imgs, size=args.size)
         emit(args.out, step="drift", config=name,
              set_agreement=round(s.set_agreement, 4),
