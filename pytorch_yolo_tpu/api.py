@@ -115,7 +115,9 @@ class Detector:
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
+        quant_bias_correct: bool = False,
         quant_act_scales: "dict[int, float] | None" = None,
+        quant_bias_delta: "dict[int, object] | None" = None,
     ) -> None:
         self.spec = spec
         self.cfg_text = cfg_text
@@ -157,7 +159,18 @@ class Detector:
             raise ValueError(
                 "quant_smooth and quant_split_concat are mutually exclusive "
                 "— per-channel smoothing subsumes per-branch split scales")
+        if quant_bias_correct and quant_calib is None:
+            raise ValueError(
+                "quant_bias_correct requires quant_calib images (the "
+                "correction averages each conv's quantization error on the "
+                "calibration forward); persisted scale files carry the "
+                "bias deltas and reload them automatically")
+        if quant_bias_delta is not None and quant_calib is not None:
+            raise ValueError(
+                "pass either quant_calib (fresh calibration) or "
+                "quant_bias_delta (persisted deltas), not both")
         self._quant_skip: frozenset[int] = frozenset()
+        self._bias_deltas: "dict[int, np.ndarray]" = {}
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if
@@ -260,9 +273,26 @@ class Detector:
                     quant_skip_layers = quant_skip_layers | frozenset(
                         i for i, _ in ranked[:quant_skip_noisy])
                     self._quant_skip = quant_skip_layers
+            fp_params = params
             params = quantize_params(spec, params,
                                      skip_layers=quant_skip_layers,
                                      act_scales=act_scales)
+            if quant_bias_correct:
+                # DFQ-style correction: absorb each quantized conv's mean
+                # pre-activation error (fp vs int8 on the same calibration
+                # input) into its bias — zero runtime cost, persisted as
+                # quant_state()["bias_delta"].
+                from .ops.quant import bias_correct_params
+
+                params, self._bias_deltas = bias_correct_params(
+                    spec, fp_params, params, canvases[:1])
+            elif quant_bias_delta:
+                from .ops.quant import apply_bias_deltas
+
+                self._bias_deltas = {
+                    int(k): np.asarray(v, np.float32)
+                    for k, v in quant_bias_delta.items()}
+                params = apply_bias_deltas(params, self._bias_deltas)
             if quant_act_scales is not None:
                 # Scales persisted under one skip policy and loaded under
                 # another leave the uncovered convs silently dynamic (and
@@ -389,7 +419,9 @@ class Detector:
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
+        quant_bias_correct: bool = False,
         quant_act_scales: "dict[int, float] | None" = None,
+        quant_bias_delta: "dict[int, object] | None" = None,
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
@@ -419,7 +451,9 @@ class Detector:
                   quant_skip_noisy=quant_skip_noisy,
                   quant_split_concat=quant_split_concat,
                   quant_smooth=quant_smooth,
-                  quant_act_scales=quant_act_scales)
+                  quant_bias_correct=quant_bias_correct,
+                  quant_act_scales=quant_act_scales,
+                  quant_bias_delta=quant_bias_delta)
         det.weights_source = weights  # None = synthetic random (provenance)
         return det
 
@@ -452,9 +486,16 @@ class Detector:
         The CLI ``--int8-scales JSON`` writes/reads this format (and still
         accepts the older flat ``{idx: scale}`` files, which reload under
         the default skip policy)."""
-        return {"version": 1,
-                "scales": {int(i): s for i, s in self.act_scales().items()},
-                "skip": sorted(int(i) for i in self._quant_skip)}
+        state = {"version": 1,
+                 "scales": {int(i): s for i, s in self.act_scales().items()},
+                 "skip": sorted(int(i) for i in self._quant_skip)}
+        if self._bias_deltas:
+            # quant_bias_correct deltas: reload via quant_bias_delta= so the
+            # corrected detector revives without the calibration images.
+            state["bias_delta"] = {
+                int(i): [float(v) for v in d]
+                for i, d in self._bias_deltas.items()}
+        return state
 
     def save_checkpoint(self, path: str) -> None:
         """Persist the converted (folded, HWIO) params + cfg so future loads

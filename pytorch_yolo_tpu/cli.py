@@ -99,6 +99,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "at calibration (zero runtime FLOPs; ALPHA in "
                         "[0,1] balances activation vs weight difficulty, "
                         "default 0.5).  Exclusive with --int8-split-concat")
+    p.add_argument("--int8-bias-correct", action="store_true",
+                   help="with --int8-calib: DFQ-style bias correction — "
+                        "each quantized conv's mean pre-activation error "
+                        "on the calibration images is absorbed into its "
+                        "bias (zero runtime cost; deltas persist in the "
+                        "scales file)")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "
@@ -204,6 +210,10 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-smooth requires --int8-calib DIR "
                          "(per-channel grids come from the calibration "
                          "images)")
+    if getattr(args, "int8_bias_correct", False) and not calib_dir:
+        raise SystemExit("--int8-bias-correct requires --int8-calib DIR "
+                         "(the correction averages quantization error on "
+                         "the calibration images)")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
@@ -211,12 +221,13 @@ def _build_detector(args) -> Detector:
         if scales_path and os.path.exists(scales_path):
             if getattr(args, "int8_skip_noisy", 0) or \
                     getattr(args, "int8_split_concat", False) or \
-                    getattr(args, "int8_smooth", None) is not None:
+                    getattr(args, "int8_smooth", None) is not None or \
+                    getattr(args, "int8_bias_correct", False):
                 raise SystemExit(
-                    "--int8-skip-noisy/--int8-split-concat/--int8-smooth "
-                    f"need a calibration run; {scales_path} already exists "
-                    "and its persisted state applies — delete it to "
-                    "re-calibrate")
+                    "--int8-skip-noisy/--int8-split-concat/--int8-smooth/"
+                    f"--int8-bias-correct need a calibration run; "
+                    f"{scales_path} already exists and its persisted state "
+                    "applies — delete it to re-calibrate")
             with open(scales_path, "r", encoding="utf-8") as f:
                 state = json.load(f)
             if isinstance(state, dict) and "scales" in state:
@@ -226,6 +237,8 @@ def _build_detector(args) -> Detector:
                 kw.update(quant_act_scales=state["scales"],
                           quant_skip_layers=frozenset(
                               int(i) for i in state.get("skip", ())))
+                if state.get("bias_delta"):
+                    kw.update(quant_bias_delta=state["bias_delta"])
             else:  # legacy flat {idx: scale}: default skip policy
                 kw.update(quant_act_scales=state)
             log.info("loaded static int8 scales from %s (no calibration "
@@ -240,7 +253,9 @@ def _build_detector(args) -> Detector:
                       quant_skip_noisy=getattr(args, "int8_skip_noisy", 0),
                       quant_split_concat=getattr(
                           args, "int8_split_concat", False),
-                      quant_smooth=getattr(args, "int8_smooth", None))
+                      quant_smooth=getattr(args, "int8_smooth", None),
+                      quant_bias_correct=getattr(
+                          args, "int8_bias_correct", False))
         elif scales_path:
             raise SystemExit(f"--int8-scales {scales_path}: file does not "
                              "exist and no --int8-calib DIR given to "

@@ -502,3 +502,80 @@ def rank_quant_noise(spec: ModelSpec, fp_params: dict, qparams: dict,
         ranked.append((layer.index, err))
     ranked.sort(key=lambda t: (-t[1], t[0]))
     return ranked
+
+
+def bias_correct_params(spec: ModelSpec, fp_params: dict, qparams: dict,
+                        x) -> "tuple[dict, dict[int, np.ndarray]]":
+    """Per-output-channel quantization bias correction (DFQ-style).
+
+    Symmetric int8 rounding leaves each conv with a small *systematic*
+    output bias: ``E[x·w] − E[x·wq·deq] = E[x·(w − wq·deq)]`` is nonzero
+    whenever the rounding residues correlate with the activation means
+    (always, in practice).  Absorb it into the conv bias: for every
+    quantized conv compare the fp32 conv against the quantized conv on the
+    SAME fp32 calibration input (upstream noise cancelled — the
+    :func:`rank_quant_noise` isolation trick), average the pre-activation
+    error over batch and space, and add it to ``b``.  Zero runtime cost —
+    the bias add already exists in the epilogue.
+
+    Pre-activation is what the bias shifts, so both convs run with a
+    ``linear`` activation override; the correction is exact for the conv
+    itself and first-order for what follows the (monotone) activation.
+
+    Returns ``(corrected_qparams, {conv_index: delta})`` — the deltas
+    persist in the quant-state file (``bias_delta``) so a scales-file
+    revive reproduces the corrected detector bit-identically without the
+    calibration images.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..models.darknet import _conv, build_forward
+
+    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
+    _, stats = fwd(fp_params, jnp.asarray(x, jnp.float32))
+
+    groups = concat_split_groups(spec)
+    out = dict(qparams)
+    deltas: dict[int, np.ndarray] = {}
+    for layer in spec.layers:
+        if not isinstance(layer, ConvSpec):
+            continue
+        q = qparams.get(layer.index)
+        if q is None or "wq" not in q:
+            continue
+        lin = dataclasses.replace(layer, activation="linear")
+        xin = stats[layer.index]
+        fp = fp_params[layer.index]
+        y_fp = _conv(xin, jnp.asarray(fp["w"], jnp.float32),
+                     jnp.asarray(fp["b"], jnp.float32), lin, jnp.float32,
+                     lax.Precision.HIGHEST)
+        y_q = quantized_conv(xin, q["wq"], q["ws"], q["b"], lin,
+                             sx=q.get("sa"), sxg=q.get("sag"),
+                             splits=(groups.get(layer.index)
+                                     if "sag" in q else None))
+        d = np.asarray(jnp.mean(y_fp - y_q, axis=(0, 1, 2)), np.float32)
+        deltas[layer.index] = d
+        out[layer.index] = {**q, "b": q["b"] + jnp.asarray(d)}
+    return out, deltas
+
+
+def apply_bias_deltas(qparams: dict,
+                      deltas: "dict[int, np.ndarray]") -> dict:
+    """Re-apply persisted :func:`bias_correct_params` deltas to a freshly
+    quantized pytree (the scales-file revive path — no calibration images
+    needed)."""
+    out = dict(qparams)
+    for idx, d in deltas.items():
+        q = out.get(idx)
+        if q is None or "wq" not in q:
+            continue
+        d = np.asarray(d, np.float32)
+        if d.shape != np.shape(q["b"]):
+            raise ValueError(
+                f"conv {idx}: persisted bias_delta has shape {d.shape} for "
+                f"a ({np.shape(q['b'])}) bias — scales file does not match "
+                "this model")
+        out[idx] = {**q, "b": q["b"] + jnp.asarray(d)}
+    return out

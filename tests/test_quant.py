@@ -829,3 +829,101 @@ def test_smooth_composes_with_skip_noisy(tiny):
     b = revived.detect(imgs[0], size=320, conf=0.3)
     assert len(a) == len(b)
     np.testing.assert_array_equal(a.boxes, b.boxes)
+
+
+def test_bias_correction_reduces_mean_error(tiny):
+    """bias_correct_params: the per-channel mean pre-activation error of
+    every corrected conv drops to ~0 on the calibration input (exact for
+    the conv itself), and the deltas it returns reproduce the corrected
+    pytree via apply_bias_deltas."""
+    import jax as _jax
+
+    from pytorch_yolo_tpu.models.darknet import build_forward
+    from pytorch_yolo_tpu.ops.quant import (apply_bias_deltas,
+                                            bias_correct_params,
+                                            collect_act_scales,
+                                            quantize_params)
+
+    spec, params = tiny
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, spec.net.height, spec.net.width, 3)) \
+        .astype(np.float32)
+    scales = collect_act_scales(spec, params, x)
+    q = quantize_params(spec, params, skip_layers=(), act_scales=scales)
+    qc, deltas = bias_correct_params(spec, params, q, x)
+    assert deltas and all(np.isfinite(d).all() for d in deltas.values())
+
+    # residual mean error after correction ~ 0 per channel (same input)
+    import dataclasses as _dc
+
+    from pytorch_yolo_tpu.config import ConvSpec
+    from pytorch_yolo_tpu.models.darknet import _conv
+    from pytorch_yolo_tpu.ops.quant import quantized_conv
+
+    fwd = _jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
+    _, stats = fwd(params, jnp.asarray(x))
+    layer = next(l for l in spec.layers
+                 if isinstance(l, ConvSpec) and l.index in deltas)
+    lin = _dc.replace(layer, activation="linear")
+    xin = stats[layer.index]
+    y_fp = _conv(xin, jnp.asarray(params[layer.index]["w"]),
+                 jnp.asarray(params[layer.index]["b"]), lin, jnp.float32,
+                 jax.lax.Precision.HIGHEST)
+    y_un = quantized_conv(xin, q[layer.index]["wq"], q[layer.index]["ws"],
+                          q[layer.index]["b"], lin,
+                          sx=q[layer.index].get("sa"))
+    y_co = quantized_conv(xin, qc[layer.index]["wq"], qc[layer.index]["ws"],
+                          qc[layer.index]["b"], lin,
+                          sx=qc[layer.index].get("sa"))
+    mean_un = np.abs(np.asarray(jnp.mean(y_fp - y_un, axis=(0, 1, 2))))
+    mean_co = np.abs(np.asarray(jnp.mean(y_fp - y_co, axis=(0, 1, 2))))
+    assert mean_co.max() < 1e-4  # exact on the calibration input
+    assert mean_co.max() <= mean_un.max()
+
+    q2 = apply_bias_deltas(q, deltas)
+    np.testing.assert_array_equal(np.asarray(q2[layer.index]["b"]),
+                                  np.asarray(qc[layer.index]["b"]))
+
+
+def test_detector_bias_correct_end_to_end(tiny):
+    """quant_bias_correct calibrates deltas, quant_state() persists them,
+    and the revived detector (no calibration images) is bit-identical."""
+    import json
+
+    spec, params = tiny
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_smooth=0.5, quant_bias_correct=True)
+    assert det._bias_deltas
+    state = json.loads(json.dumps(det.quant_state()))
+    assert state["bias_delta"]
+    revived = pyt.Detector(spec, params, quant="w8a8",
+                           quant_act_scales=state["scales"],
+                           quant_skip_layers=frozenset(state["skip"]),
+                           quant_bias_delta=state["bias_delta"])
+    a = det.detect(imgs[0], size=320, conf=0.3)
+    b = revived.detect(imgs[0], size=320, conf=0.3)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+    np.testing.assert_array_equal(a.obj, b.obj)
+
+
+def test_bias_correct_validation(tiny):
+    spec, params = tiny
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="quant_bias_correct requires"):
+        pyt.Detector(spec, params, quant="w8a8", quant_bias_correct=True)
+    with pytest.raises(ValueError, match="not both"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=[img],
+                     quant_bias_delta={0: [0.0]})
+    from pytorch_yolo_tpu.ops.quant import (apply_bias_deltas,
+                                            collect_act_scales,
+                                            quantize_params)
+    x = np.zeros((1, spec.net.height, spec.net.width, 3), np.float32)
+    q = quantize_params(spec, params, skip_layers=(),
+                        act_scales=collect_act_scales(spec, params, x))
+    some = next(i for i, p in q.items() if "wq" in p)
+    with pytest.raises(ValueError, match="does not match"):
+        apply_bias_deltas(q, {some: np.zeros(3, np.float32)})

@@ -250,6 +250,18 @@ def main() -> None:
         "quant": "w8a8", "quant_calib": imgs[:2],
         "quant_smooth": 0.5, "quant_skip_noisy": 4,
         "skip_flop_share": None}))  # resolved skip set is data-dependent
+    # DFQ-style bias correction: mean pre-activation quantization error
+    # absorbed into each conv bias at calibration — zero runtime cost.
+    ladder.append(("int8sb+bc", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_bias_correct": True,
+        "skip_flop_share": round(base_cost, 4)}))
+    ladder.append(("int8sb+smooth0.5+bc", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_smooth": 0.5, "quant_bias_correct": True,
+        "skip_flop_share": round(base_cost, 4)}))
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:
