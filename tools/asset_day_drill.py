@@ -168,12 +168,13 @@ def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
     report identical accuracy numbers (calibrate once, serve many)."""
     scales = os.path.join(drill_dir, f"{model}.int8-scales.json")
     outs = []
-    # --int8-smooth + --int8-skip-noisy rehearse the full accuracy stack:
-    # the persisted quant_state() (per-channel grids + skip set) must make
-    # the reload bit-identical too.  smooth0.5 is the best measured
-    # zero-FLOP rung (PERF.md session 7) and composes with skip-noisy.
+    # --int8-smooth + --int8-bias-correct + --int8-skip-noisy rehearse the
+    # full accuracy stack: the persisted quant_state() (per-channel grids,
+    # bias deltas AND the skip set) must make the reload bit-identical.
+    # smooth(+bc on conv_conv) is the best measured zero-cost recipe
+    # (PERF.md session 7); the drill exercises every persistence path.
     for extra in (["--int8-calib", img_dir, "--int8-smooth", "0.5",
-                   "--int8-skip-noisy", "4"], []):
+                   "--int8-bias-correct", "--int8-skip-noisy", "4"], []):
         proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
                      "--model", model, "--reso", str(reso),
                      "--confidence", "0.005", "--nms_thresh", "0.45",
