@@ -116,6 +116,7 @@ class Detector:
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
         quant_bias_correct: bool = False,
+        quant_recipe: "str | None" = None,
         quant_act_scales: "dict[int, float] | None" = None,
         quant_bias_delta: "dict[int, object] | None" = None,
     ) -> None:
@@ -137,6 +138,31 @@ class Detector:
         if quant is None and quant_act_scales is not None:
             raise ValueError("quant_act_scales given but quant is None — "
                              "pass quant='w8a8' to serve persisted scales")
+        if quant_recipe is not None:
+            # "auto" = the measured best zero-cost calibration recipe per
+            # stem family (PERF.md round-3 sessions 5-7, CPU drift ladder
+            # on synthetic weights — re-tuned in ONE place when real
+            # weights land): per-channel smoothing everywhere; DFQ bias
+            # correction only for conv_conv bodies (it measured a LOSS on
+            # the conv_pool/tiny family, whose few huge convs make the
+            # mean-error estimate noisy).
+            if quant_recipe != "auto":
+                raise ValueError(
+                    f"unknown quant_recipe {quant_recipe!r} (only 'auto')")
+            if quant_calib is None:
+                raise ValueError(
+                    "quant_recipe='auto' requires quant_calib images (the "
+                    "recipe is a calibration policy)")
+            if (quant_smooth is not None or quant_bias_correct
+                    or quant_split_concat or quant_skip_noisy):
+                raise ValueError(
+                    "quant_recipe='auto' chooses the int8 knobs itself — "
+                    "drop the explicit quant_smooth/quant_bias_correct/"
+                    "quant_split_concat/quant_skip_noisy arguments")
+            from .models.darknet import _stem_pattern as _sp
+
+            quant_smooth = 0.5
+            quant_bias_correct = _sp(spec) == "conv_conv"
         if quant_skip_noisy and quant_calib is None:
             raise ValueError(
                 "quant_skip_noisy requires quant_calib images (noise "
@@ -420,6 +446,7 @@ class Detector:
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
         quant_bias_correct: bool = False,
+        quant_recipe: "str | None" = None,
         quant_act_scales: "dict[int, float] | None" = None,
         quant_bias_delta: "dict[int, object] | None" = None,
     ) -> "Detector":
@@ -452,6 +479,7 @@ class Detector:
                   quant_split_concat=quant_split_concat,
                   quant_smooth=quant_smooth,
                   quant_bias_correct=quant_bias_correct,
+                  quant_recipe=quant_recipe,
                   quant_act_scales=quant_act_scales,
                   quant_bias_delta=quant_bias_delta)
         det.weights_source = weights  # None = synthetic random (provenance)

@@ -105,6 +105,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "on the calibration images is absorbed into its "
                         "bias (zero runtime cost; deltas persist in the "
                         "scales file)")
+    p.add_argument("--int8-recipe", choices=("auto",), default=None,
+                   help="with --int8-calib: apply the measured best "
+                        "zero-cost calibration recipe for the model's "
+                        "family (smooth everywhere; bias correction only "
+                        "for conv_conv bodies — PERF.md round-3 ladder).  "
+                        "Mutually exclusive with the explicit knobs")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "
@@ -214,6 +220,9 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-bias-correct requires --int8-calib DIR "
                          "(the correction averages quantization error on "
                          "the calibration images)")
+    if getattr(args, "int8_recipe", None) and not calib_dir:
+        raise SystemExit("--int8-recipe requires --int8-calib DIR "
+                         "(the recipe is a calibration policy)")
     if getattr(args, "int8", False):
         kw.update(quant="w8a8",
                   quant_skip_layers=(
@@ -222,7 +231,8 @@ def _build_detector(args) -> Detector:
             if getattr(args, "int8_skip_noisy", 0) or \
                     getattr(args, "int8_split_concat", False) or \
                     getattr(args, "int8_smooth", None) is not None or \
-                    getattr(args, "int8_bias_correct", False):
+                    getattr(args, "int8_bias_correct", False) or \
+                    getattr(args, "int8_recipe", None):
                 raise SystemExit(
                     "--int8-skip-noisy/--int8-split-concat/--int8-smooth/"
                     f"--int8-bias-correct need a calibration run; "
@@ -255,7 +265,8 @@ def _build_detector(args) -> Detector:
                           args, "int8_split_concat", False),
                       quant_smooth=getattr(args, "int8_smooth", None),
                       quant_bias_correct=getattr(
-                          args, "int8_bias_correct", False))
+                          args, "int8_bias_correct", False),
+                      quant_recipe=getattr(args, "int8_recipe", None))
         elif scales_path:
             raise SystemExit(f"--int8-scales {scales_path}: file does not "
                              "exist and no --int8-calib DIR given to "

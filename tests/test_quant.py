@@ -927,3 +927,80 @@ def test_bias_correct_validation(tiny):
     some = next(i for i, p in q.items() if "wq" in p)
     with pytest.raises(ValueError, match="does not match"):
         apply_bias_deltas(q, {some: np.zeros(3, np.float32)})
+
+
+_CONV_CONV_MINI = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=6
+activation=linear
+
+[yolo]
+mask=0
+anchors=10,13, 16,30
+classes=1
+num=2
+"""
+
+
+def test_quant_recipe_auto(tiny):
+    """quant_recipe='auto' encodes the measured per-family recipe in one
+    place: smooth everywhere, bias correction only for conv_conv stems."""
+    from pytorch_yolo_tpu.config import build_spec, parse_cfg_text
+    from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
+
+    spec, params = tiny  # conv_pool family
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                       quant_recipe="auto")
+    assert any("sa" in p and np.asarray(p["sa"]).ndim == 1
+               for p in det.params.values())  # smoothed grids present
+    assert not det._bias_deltas  # conv_pool: bc measured a loss — off
+
+    cc = build_spec(parse_cfg_text(_CONV_CONV_MINI))
+    ccp = fold_batchnorm(cc, random_raw_params(cc, seed=5))
+    det_cc = pyt.Detector(cc, ccp, quant="w8a8", quant_calib=imgs,
+                          quant_recipe="auto")
+    assert det_cc._bias_deltas  # conv_conv: smooth + bc
+
+    with pytest.raises(ValueError, match="only 'auto'"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                     quant_recipe="best")
+    with pytest.raises(ValueError, match="requires quant_calib"):
+        pyt.Detector(spec, params, quant="w8a8", quant_recipe="auto")
+    with pytest.raises(ValueError, match="chooses the int8 knobs"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                     quant_recipe="auto", quant_smooth=0.5)
