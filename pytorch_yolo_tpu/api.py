@@ -139,13 +139,16 @@ class Detector:
             raise ValueError("quant_act_scales given but quant is None — "
                              "pass quant='w8a8' to serve persisted scales")
         if quant_recipe is not None:
-            # "auto" = the measured best zero-cost calibration recipe per
-            # stem family (PERF.md round-3 sessions 5-7, CPU drift ladder
-            # on synthetic weights — re-tuned in ONE place when real
-            # weights land): per-channel smoothing everywhere; DFQ bias
-            # correction only for conv_conv bodies (it measured a LOSS on
-            # the conv_pool/tiny family, whose few huge convs make the
-            # mean-error estimate noisy).
+            # "auto" = the measured best zero-cost calibration recipe
+            # (PERF.md round-3 sessions 5-7, CPU drift ladder on synthetic
+            # weights — re-tuned in ONE place when real weights land):
+            # p99.9 percentile ranging + per-channel smoothing + DFQ bias
+            # correction.  The three are complementary — each single knob
+            # is model-dependent (percentile and bc both LOSE on the tiny
+            # family in isolation) but the trio measured best on BOTH
+            # families (yolov3 0.894→0.9622, tiny 0.886→0.943): clipping
+            # introduces a systematic shift that bc removes, and the
+            # smoothed grids handle the channel spread clipping can't.
             if quant_recipe != "auto":
                 raise ValueError(
                     f"unknown quant_recipe {quant_recipe!r} (only 'auto')")
@@ -154,15 +157,16 @@ class Detector:
                     "quant_recipe='auto' requires quant_calib images (the "
                     "recipe is a calibration policy)")
             if (quant_smooth is not None or quant_bias_correct
-                    or quant_split_concat or quant_skip_noisy):
+                    or quant_split_concat or quant_skip_noisy
+                    or quant_calib_percentile is not None):
                 raise ValueError(
                     "quant_recipe='auto' chooses the int8 knobs itself — "
                     "drop the explicit quant_smooth/quant_bias_correct/"
-                    "quant_split_concat/quant_skip_noisy arguments")
-            from .models.darknet import _stem_pattern as _sp
-
+                    "quant_split_concat/quant_skip_noisy/"
+                    "quant_calib_percentile arguments")
+            quant_calib_percentile = 99.9
             quant_smooth = 0.5
-            quant_bias_correct = _sp(spec) == "conv_conv"
+            quant_bias_correct = True
         if quant_skip_noisy and quant_calib is None:
             raise ValueError(
                 "quant_skip_noisy requires quant_calib images (noise "

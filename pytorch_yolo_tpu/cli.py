@@ -107,10 +107,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "scales file)")
     p.add_argument("--int8-recipe", choices=("auto",), default=None,
                    help="with --int8-calib: apply the measured best "
-                        "zero-cost calibration recipe for the model's "
-                        "family (smooth everywhere; bias correction only "
-                        "for conv_conv bodies — PERF.md round-3 ladder).  "
-                        "Mutually exclusive with the explicit knobs")
+                        "zero-cost calibration recipe (p99.9 percentile "
+                        "ranging + per-channel smoothing + bias "
+                        "correction — the trio measured best on every "
+                        "family, PERF.md round-3 ladder).  Mutually "
+                        "exclusive with the explicit knobs")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "

@@ -975,12 +975,13 @@ num=2
 
 
 def test_quant_recipe_auto(tiny):
-    """quant_recipe='auto' encodes the measured per-family recipe in one
-    place: smooth everywhere, bias correction only for conv_conv stems."""
+    """quant_recipe='auto' encodes the measured best calibration recipe in
+    one place: p99.9 percentile ranging + per-channel smoothing + bias
+    correction (the trio measured best on BOTH families — PERF.md r3)."""
     from pytorch_yolo_tpu.config import build_spec, parse_cfg_text
     from pytorch_yolo_tpu.weights import fold_batchnorm, random_raw_params
 
-    spec, params = tiny  # conv_pool family
+    spec, params = tiny
     rng = np.random.default_rng(13)
     imgs = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
             for _ in range(2)]
@@ -988,13 +989,23 @@ def test_quant_recipe_auto(tiny):
                        quant_recipe="auto")
     assert any("sa" in p and np.asarray(p["sa"]).ndim == 1
                for p in det.params.values())  # smoothed grids present
-    assert not det._bias_deltas  # conv_pool: bc measured a loss — off
+    assert det._bias_deltas  # bias correction on
 
     cc = build_spec(parse_cfg_text(_CONV_CONV_MINI))
     ccp = fold_batchnorm(cc, random_raw_params(cc, seed=5))
     det_cc = pyt.Detector(cc, ccp, quant="w8a8", quant_calib=imgs,
                           quant_recipe="auto")
-    assert det_cc._bias_deltas  # conv_conv: smooth + bc
+    assert det_cc._bias_deltas  # family-independent trio
+    # percentile ranging engaged: recipe scales differ from max-calib ones
+    det_max = pyt.Detector(cc, ccp, quant="w8a8", quant_calib=imgs,
+                           quant_smooth=0.5, quant_bias_correct=True)
+    k = next(i for i, p in det_cc.params.items() if "sa" in p)
+    assert not np.array_equal(np.asarray(det_cc.params[k]["sa"]),
+                              np.asarray(det_max.params[k]["sa"]))
+
+    with pytest.raises(ValueError, match="chooses the int8 knobs"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                     quant_recipe="auto", quant_calib_percentile=99.0)
 
     with pytest.raises(ValueError, match="only 'auto'"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,

@@ -262,6 +262,19 @@ def main() -> None:
         "quant": "w8a8", "quant_calib": imgs[:2],
         "quant_smooth": 0.5, "quant_bias_correct": True,
         "skip_flop_share": round(base_cost, 4)}))
+    # percentile x smooth: with percentile set, the per-channel stats the
+    # grid builds on are per-channel percentiles — outlier-robust grids.
+    ladder.append(("int8sb+p99.9+smooth0.5", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_calib_percentile": 99.9, "quant_smooth": 0.5,
+        "skip_flop_share": round(base_cost, 4)}))
+    ladder.append(("int8sb+p99.9+smooth0.5+bc", {
+        "compute_dtype": jnp.bfloat16, "precision": "default",
+        "quant": "w8a8", "quant_calib": imgs[:2],
+        "quant_calib_percentile": 99.9, "quant_smooth": 0.5,
+        "quant_bias_correct": True,
+        "skip_flop_share": round(base_cost, 4)}))
 
     for name, kw in ladder:
         if args.configs is not None and name not in args.configs:
