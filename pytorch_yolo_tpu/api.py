@@ -201,6 +201,7 @@ class Detector:
                 "quant_bias_delta (persisted deltas), not both")
         self._quant_skip: frozenset[int] = frozenset()
         self._bias_deltas: "dict[int, np.ndarray]" = {}
+        self._quant_recipe = quant_recipe
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if
@@ -521,6 +522,11 @@ class Detector:
         state = {"version": 1,
                  "scales": {int(i): s for i, s in self.act_scales().items()},
                  "skip": sorted(int(i) for i in self._quant_skip)}
+        if self._quant_recipe is not None:
+            # Lets the CLI accept `--int8-recipe auto --int8-scales f.json`
+            # on a RESTART: a file stamped with the same recipe loads
+            # instead of demanding a re-calibration.
+            state["recipe"] = self._quant_recipe
         if self._bias_deltas:
             # quant_bias_correct deltas: reload via quant_bias_delta= so the
             # corrected detector revives without the calibration images.

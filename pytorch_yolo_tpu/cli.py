@@ -229,18 +229,24 @@ def _build_detector(args) -> Detector:
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
         if scales_path and os.path.exists(scales_path):
-            if getattr(args, "int8_skip_noisy", 0) or \
+            with open(scales_path, "r", encoding="utf-8") as f:
+                state = json.load(f)
+            recipe = getattr(args, "int8_recipe", None)
+            if recipe and isinstance(state, dict) \
+                    and state.get("recipe") == recipe:
+                pass  # restart-safe: the file IS this recipe's output
+            elif getattr(args, "int8_skip_noisy", 0) or \
                     getattr(args, "int8_split_concat", False) or \
                     getattr(args, "int8_smooth", None) is not None or \
                     getattr(args, "int8_bias_correct", False) or \
-                    getattr(args, "int8_recipe", None):
+                    recipe:
                 raise SystemExit(
                     "--int8-skip-noisy/--int8-split-concat/--int8-smooth/"
-                    f"--int8-bias-correct need a calibration run; "
-                    f"{scales_path} already exists and its persisted state "
-                    "applies — delete it to re-calibrate")
-            with open(scales_path, "r", encoding="utf-8") as f:
-                state = json.load(f)
+                    f"--int8-bias-correct/--int8-recipe need a calibration "
+                    f"run; {scales_path} already exists and its persisted "
+                    "state applies — delete it to re-calibrate (a file "
+                    "stamped by --int8-recipe reloads under the same "
+                    "recipe flag)")
             if isinstance(state, dict) and "scales" in state:
                 # quant_state() format: scales + the resolved skip set of
                 # the calibration run (reproduces the exact quantized-conv

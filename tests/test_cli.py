@@ -439,3 +439,40 @@ def test_int8_smooth_cli(assets, tmp_path):
               "--det", str(tmp_path / "x"), "--cfg", assets["cfg"],
               "--weights", assets["weights"], "--reso", "320",
               "--int8", "--int8-smooth", "0.5"])
+
+
+def test_int8_recipe_restart_safe(assets, tmp_path):
+    """--int8-recipe auto: first run calibrates (trio knobs) and stamps the
+    scales file; a RESTART with the identical command line loads it (no
+    re-calibration error) and reproduces the detections.  A file produced
+    by explicit knobs does NOT satisfy the recipe flag."""
+    import json as _json
+
+    scales = str(tmp_path / "recipe.json")
+    outs = {}
+    for tag in ("calib", "restart"):
+        out = str(tmp_path / f"det_{tag}")
+        rc = main(["detect", "--images", assets["imgs"], "--det", out,
+                   "--cfg", assets["cfg"], "--weights", assets["weights"],
+                   "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+                   "--int8-recipe", "auto", "--int8-scales", scales,
+                   "--save-json"])
+        assert rc == 0
+        outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
+    assert outs["calib"] == outs["restart"]
+    saved = _json.load(open(scales))
+    assert saved["recipe"] == "auto"
+    assert saved["bias_delta"]  # trio includes bias correction
+    assert any(isinstance(v, dict) for v in saved["scales"].values())
+
+    # an un-stamped file (explicit knobs) + --int8-recipe -> refuse
+    saved.pop("recipe")
+    explicit = str(tmp_path / "explicit.json")
+    with open(explicit, "w") as f:
+        _json.dump(saved, f)
+    with pytest.raises(SystemExit, match="already exists"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "det_err"),
+              "--cfg", assets["cfg"], "--weights", assets["weights"],
+              "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+              "--int8-recipe", "auto", "--int8-scales", explicit])
