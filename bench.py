@@ -160,6 +160,11 @@ def _load_detector(model: str, compute_dtype: str, precision: str, rng,
 
     _ensure_compile_cache()
     label, quant, calib = compute_dtype, None, None
+    if compute_dtype == "w8":
+        # weight-only int8: kernels stream as int8 + per-call dequant,
+        # activations bf16 — the memory-bound serving mode (bf16-class
+        # accuracy, quarter fp32 weight traffic)
+        quant, compute_dtype = "w8", "bfloat16"
     if compute_dtype in ("int8", "int8s", "int8sb"):
         if compute_dtype in ("int8s", "int8sb"):
             calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)

@@ -138,6 +138,19 @@ class Detector:
         if quant is None and quant_act_scales is not None:
             raise ValueError("quant_act_scales given but quant is None — "
                              "pass quant='w8a8' to serve persisted scales")
+        if quant not in (None, "w8a8", "w8"):
+            raise ValueError(f"unknown quant mode {quant!r} "
+                             "(None, 'w8a8', or 'w8')")
+        if quant == "w8" and (
+                quant_calib is not None or quant_act_scales is not None
+                or quant_bias_delta is not None or quant_skip_noisy
+                or quant_split_concat or quant_smooth is not None
+                or quant_bias_correct or quant_recipe is not None
+                or quant_calib_percentile is not None):
+            raise ValueError(
+                "quant='w8' is weight-only int8 — activations stay in the "
+                "compute dtype, so there is nothing to calibrate; drop the "
+                "quant_calib/scales/knob arguments (they are w8a8 concepts)")
         if quant_recipe is not None:
             # "auto" = the measured best zero-cost calibration recipe
             # (PERF.md round-3 sessions 5-7, CPU drift ladder on synthetic
@@ -220,8 +233,12 @@ class Detector:
             from .ops.quant import (collect_act_scales, quantize_params,
                                     resolve_skip_layers)
 
+            # w8 has no activation quantization, so the early-stride skip
+            # (an activation-requant-cost mitigation) is irrelevant —
+            # quantize every non-head conv's weights.
             early_default = 8 if (
-                _stem_pattern(spec) == "conv_conv"
+                quant == "w8a8"
+                and _stem_pattern(spec) == "conv_conv"
                 and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float16)
             ) else 0
             quant_skip_layers = resolve_skip_layers(

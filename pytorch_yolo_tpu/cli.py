@@ -105,6 +105,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "on the calibration images is absorbed into its "
                         "bias (zero runtime cost; deltas persist in the "
                         "scales file)")
+    p.add_argument("--int8-weights-only", action="store_true",
+                   help="with --int8: weight-only quantization (W8) — "
+                        "kernels stream as int8 and dequantize per call, "
+                        "activations stay in the compute dtype.  bf16-"
+                        "class accuracy (weight rounding only) at 4x less "
+                        "weight memory than fp32; no calibration needed "
+                        "or accepted")
     p.add_argument("--int8-recipe", choices=("auto",), default=None,
                    help="with --int8-calib: apply the measured best "
                         "zero-cost calibration recipe (p99.9 percentile "
@@ -225,7 +232,12 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-recipe requires --int8-calib DIR "
                          "(the recipe is a calibration policy)")
     if getattr(args, "int8", False):
-        kw.update(quant="w8a8",
+        weights_only = getattr(args, "int8_weights_only", False)
+        if weights_only and (calib_dir or scales_path):
+            raise SystemExit("--int8-weights-only has no activation "
+                             "quantization — drop --int8-calib/--int8-"
+                             "scales (w8a8 concepts)")
+        kw.update(quant="w8" if weights_only else "w8a8",
                   quant_skip_layers=(
                       "heads" if getattr(args, "int8_skip_heads", True) else ()))
         if scales_path and os.path.exists(scales_path):

@@ -285,7 +285,7 @@ def build_forward(
     (ops/quant.collect_act_scales supplies absmax or percentile
     statistics).  Mutually exclusive with ``stop_at`` (a truncated run
     would silently drop the collected stats)."""
-    if quant not in (None, "w8a8"):
+    if quant not in (None, "w8a8", "w8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
     if collect_conv_in_stats is not None and stop_at is not None:
         raise ValueError("collect_conv_in_stats and stop_at are mutually "
@@ -389,7 +389,17 @@ def build_forward(
                 p = params[layer.index]
                 if collect_conv_in_stats is not None:  # int8 calibration pass
                     stats[layer.index] = collect_conv_in_stats(x)
-                if quant is not None and "wq" in p:
+                if quant == "w8" and "wq" in p:
+                    # Weight-only int8 (W8): kernels stream from HBM as
+                    # int8 and dequantize per call (wq·ws — XLA fuses the
+                    # cast+scale into the conv's operand read); activations
+                    # stay in the compute dtype, so accuracy is bf16-class
+                    # (weight rounding only) at 4x less weight traffic
+                    # than fp32 / 2x less than bf16.
+                    w = (p["wq"].astype(jnp.float32)
+                         * p["ws"]).astype(dtype)
+                    x = _conv(x, w, p["b"], layer, dtype, precision)
+                elif quant is not None and "wq" in p:
                     from ..ops.quant import quantized_conv
 
                     out_idx = chains.get(layer.index)

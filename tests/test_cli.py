@@ -476,3 +476,20 @@ def test_int8_recipe_restart_safe(assets, tmp_path):
               "--cfg", assets["cfg"], "--weights", assets["weights"],
               "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
               "--int8-recipe", "auto", "--int8-scales", explicit])
+
+
+def test_int8_weights_only_cli(assets, tmp_path):
+    """--int8 --int8-weights-only: weight-only quantization from the CLI —
+    runs without calibration, refuses the w8a8-only flags."""
+    out = str(tmp_path / "det_w8")
+    rc = main(["detect", "--images", assets["imgs"], "--det", out,
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--int8", "--int8-weights-only"])
+    assert rc == 0
+    assert os.listdir(out)
+    with pytest.raises(SystemExit, match="no activation"):
+        main(["detect", "--images", assets["imgs"],
+              "--det", str(tmp_path / "det_err"),
+              "--cfg", assets["cfg"], "--weights", assets["weights"],
+              "--reso", "320", "--int8", "--int8-weights-only",
+              "--int8-calib", assets["imgs"]])

@@ -1015,3 +1015,47 @@ def test_quant_recipe_auto(tiny):
     with pytest.raises(ValueError, match="chooses the int8 knobs"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
                      quant_recipe="auto", quant_smooth=0.5)
+
+
+def test_weight_only_w8_forward_close_to_fp(tiny):
+    """quant='w8' (weight-only int8): per-channel weight rounding is the
+    ONLY error source, so the fp32-compute w8 forward tracks the fp32
+    forward to ~0.4%/conv — and no activation-quant machinery engages
+    (no 'sa', no resident chains)."""
+    from pytorch_yolo_tpu.models.darknet import build_forward
+
+    spec, params = tiny
+    det = pyt.Detector(spec, params, quant="w8")
+    assert all("sa" not in p and "sag" not in p
+               for p in det.params.values())
+    assert any("wq" in p for p in det.params.values())
+    # heads stay fp by default
+    from pytorch_yolo_tpu.ops.quant import head_conv_indices
+    assert all("w" in det.params[i] for i in head_conv_indices(spec))
+
+    x = np.random.default_rng(2).uniform(
+        0, 1, (1, spec.net.height, spec.net.width, 3)).astype(np.float32)
+    fwd_fp = jax.jit(build_forward(spec))
+    fwd_w8 = jax.jit(build_forward(spec, quant="w8"))
+    heads_fp = fwd_fp(params, jnp.asarray(x))
+    heads_w8 = fwd_w8(det.params, jnp.asarray(x))
+    for a, b in zip(heads_w8, heads_fp):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = float(np.linalg.norm(b.ravel())) or 1.0
+        rel = float(np.linalg.norm((a - b).ravel())) / denom
+        assert rel < 0.05, rel  # weight rounding only — small relative err
+
+    r = det.detect(np.random.default_rng(0).integers(
+        0, 256, (240, 320, 3), dtype=np.uint8), size=320, conf=0.3)
+    assert np.isfinite(r.boxes).all()
+
+
+def test_weight_only_w8_validation(tiny):
+    spec, params = tiny
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="weight-only"):
+        pyt.Detector(spec, params, quant="w8", quant_calib=[img])
+    with pytest.raises(ValueError, match="weight-only"):
+        pyt.Detector(spec, params, quant="w8", quant_smooth=0.5)
+    with pytest.raises(ValueError, match="unknown quant mode"):
+        pyt.Detector(spec, params, quant="int8")

@@ -201,6 +201,10 @@ def main() -> None:
 
     ladder: list[tuple[str, dict]] = [
         ("bf16", {"compute_dtype": jnp.bfloat16, "precision": "default"}),
+        # weight-only int8 (no activation quant): expect bf16-class
+        # agreement — the memory-bound serving mode's accuracy bound
+        ("w8bf16", {"compute_dtype": jnp.bfloat16, "precision": "default",
+                    "quant": "w8"}),
         ("int8sb-default", {"compute_dtype": jnp.bfloat16,
                             "precision": "default", "quant": "w8a8",
                             "quant_calib": imgs[:2],
