@@ -220,6 +220,14 @@ guard(22, "yolov3_int8sb_smooth_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_smooth=0.5))
+# weight-only int8 (bf16 activations): no int8 MXU path, but 2x less
+# weight HBM traffic than bf16 — where does it land vs bf16/int8sb?
+guard(23, "yolov3_w8_b64",
+      lambda: bench.measure_compute("yolov3", 416, 64, 10,
+                                    "w8", "default"))
+guard(24, "yolov3_w8_b1_latency",
+      lambda: bench.measure_compute("yolov3", 416, 1, 30,
+                                    "w8", "default"))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
 """
