@@ -557,7 +557,7 @@ def main() -> None:
                         log(f"sweep {dtype}/{prec} b{batch} failed: {e}")
             for dtype, prec in (("float32", "highest"), ("bfloat16", "default"),
                                 ("int8", "default"), ("int8s", "default"),
-                                ("int8sb", "default")):
+                                ("int8sb", "default"), ("w8", "default")):
                 try:
                     measure_compute(args.model, args.size, 16, args.iters,
                                     dtype, prec)
