@@ -484,12 +484,16 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--precision", default="default")
-    ap.add_argument("--chain", type=int, default=1,
+    ap.add_argument("--chain", type=int, default=None,
                     help="compute mode: pipeline iterations per dispatch "
                          "(lax.fori_loop).  >1 cancels the tunnel's ~8.6 ms "
                          "per-call dispatch floor (PERF.md r3); the metric "
-                         "string discloses it.  Default 1 until the "
-                         "chain-vs-unchained hardware A/B is banked.")
+                         "string discloses it.  Default 8 in compute mode "
+                         "per the banked hardware A/B (perf/large_r3.jsonl "
+                         "steps 14-17: yolov3 bf16 b64 1339 chain1 -> 1428 "
+                         "chain8, b128 1484 chain8; int8sb b128c8 1824); "
+                         "transfer-inclusive modes have no chained form "
+                         "and default 1.")
     ap.add_argument("--mode", default="compute",
                     choices=("batch", "pipelined", "compute"),
                     help="batch: raw-frame device-letterbox e2e; pipelined: "
@@ -519,6 +523,11 @@ def main() -> None:
     ap.add_argument("--retry-wait", type=int, default=300,
                     help="seconds between retry attempts")
     args = ap.parse_args()
+    if args.chain is None:
+        # Mode-dependent default: chained dispatch only exists in compute
+        # mode, where the banked A/B (perf/large_r3.jsonl 14-17) made 8 the
+        # measured winner; transfer-inclusive modes stay unchained.
+        args.chain = 8 if args.mode == "compute" else 1
     if args.chain < 1:
         ap.error(f"--chain must be >= 1, got {args.chain}")  # before any retry
     if args.chain > 1 and args.mode != "compute":
