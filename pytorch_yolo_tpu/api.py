@@ -221,24 +221,25 @@ class Detector:
             # already int8).  quant_skip_layers="heads" (default) keeps the
             # detection-head output convs in fp — the int8 mAP-killer.
             # resolve_skip_layers additionally skips the large-spatial early
-            # convs (input stride < 8) — but ONLY where the b64 A/B measured
-            # it a win (perf/int8_serving_ab_r3.jsonl): conv_conv stems
-            # served with reduced-precision glue (yolov3 int8+bf16 glue:
-            # 1602 img/s vs 1420 quantize-all).  fp32 glue pays 4x
+            # convs (input stride < 8) — but ONLY where the b64 A/Bs
+            # measured it a win: models WITHOUT an early maxpool ladder,
+            # served with reduced-precision glue (yolov3 int8+bf16 glue
+            # 1602 vs 1420 quantize-all, perf/int8_serving_ab_r3.jsonl;
+            # yolov4 1231 vs 998 and csp 1378 vs 1229 with the skip,
+            # perf/large_r3.jsonl steps 12-13).  fp32 glue pays 4x
             # activation bytes on the skipped stages (1241 — a loss), and
-            # conv_pool families keep their early resident ladders (tiny:
+            # early-pool families keep their int8-resident ladders (tiny:
             # 4566 quantize-all vs 3350/4288 skipped).  Env
             # PYTORCH_YOLO_INT8_EARLY_STRIDE forces either way.
-            from .models.darknet import _stem_pattern
-            from .ops.quant import (collect_act_scales, quantize_params,
-                                    resolve_skip_layers)
+            from .ops.quant import (collect_act_scales, early_skip_profitable,
+                                    quantize_params, resolve_skip_layers)
 
             # w8 has no activation quantization, so the early-stride skip
             # (an activation-requant-cost mitigation) is irrelevant —
             # quantize every non-head conv's weights.
             early_default = 8 if (
                 quant == "w8a8"
-                and _stem_pattern(spec) == "conv_conv"
+                and early_skip_profitable(spec)
                 and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float16)
             ) else 0
             quant_skip_layers = resolve_skip_layers(

@@ -52,10 +52,11 @@ def head_conv_indices(spec: ModelSpec) -> frozenset[int]:
                      if isinstance(l, ConvSpec) and (l.index + 1) in head_idx)
 
 
-def conv_input_strides(spec: ModelSpec) -> "dict[int, int]":
-    """Per-conv input stride (net-input pixels per feature cell at the
-    layer's input).  Routes/shortcuts take their source's stride, so the
-    map is exact for branched necks, not just linear backbones."""
+def _layer_input_strides(spec: ModelSpec) -> "dict[int, int]":
+    """Per-layer input stride (net-input pixels per feature cell at the
+    layer's input) for EVERY layer.  Routes/shortcuts take their source's
+    stride, so the map is exact for branched necks, not just linear
+    backbones."""
     from ..config import ReorgSpec, RouteSpec, ShortcutSpec
 
     out_stride: dict[int, int] = {}
@@ -73,8 +74,37 @@ def conv_input_strides(spec: ModelSpec) -> "dict[int, int]":
         elif isinstance(layer, UpsampleSpec):
             cur //= layer.stride
         out_stride[idx] = cur
+    return in_stride
+
+
+def conv_input_strides(spec: ModelSpec) -> "dict[int, int]":
+    """Per-conv input stride (see :func:`_layer_input_strides`)."""
+    in_stride = _layer_input_strides(spec)
     return {l.index: in_stride[l.index] for l in spec.layers
             if isinstance(l, ConvSpec)}
+
+
+def early_skip_profitable(spec: ModelSpec, min_stride: int = 8) -> bool:
+    """Is the early-layer int8 skip a measured win for this topology?
+
+    Profitable iff the model has NO maxpool in the early (input stride <
+    ``min_stride``) region.  The hardware A/Bs split the zoo exactly along
+    this line: conv-chain stems win with the skip regardless of activation
+    — yolov3/leaky 1602 vs 1420 quantize-all
+    (perf/int8_serving_ab_r3.jsonl), yolov4/mish 1231 vs 998 and
+    yolov4-csp 1378 vs 1229 with the skip forced
+    (perf/large_r3.jsonl steps 12-13, which flipped csp int8 from −7% to
+    ~+3% vs bf16) — while early conv→maxpool→conv ladders LOSE it
+    (tiny 4566 quantize-all vs 3350/4288 skipped; v2 2938 vs 2164/2619):
+    their early pools ride the int8-resident chain (requant folded into
+    the producer, pools int8-transparent), and the skip forfeits exactly
+    that.  yolov4-tiny's pools sit at input strides 4/8/16 → ladder
+    family, skip off.  SPP pools (stride 32) don't count — they are deep.
+    """
+    in_stride = _layer_input_strides(spec)
+    return not any(isinstance(l, MaxPoolSpec) and l.index in in_stride
+                   and in_stride[l.index] < min_stride
+                   for l in spec.layers)
 
 
 def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:

@@ -379,6 +379,23 @@ def test_early_conv_indices_families():
         assert early, name  # every family has a large-spatial prefix
 
 
+def test_early_skip_profitable_splits_zoo_on_early_pools():
+    """The early-skip default predicate must reproduce the measured A/B
+    split exactly: conv-chain families (any activation) win the skip,
+    early conv->maxpool->conv ladders lose it (perf/int8_serving_ab_r3,
+    perf/large_r3 steps 12-13).  SPP pools (deep, stride>=32) must NOT
+    disqualify a model."""
+    from pytorch_yolo_tpu.ops.quant import early_skip_profitable
+
+    profitable = ("yolov3", "yolov3-spp", "yolov4", "yolov4-csp",
+                  "yolov4x-mish", "yolov4-p5", "yolov4-p6", "yolov4-p7")
+    ladders = ("yolov3-tiny", "yolov2", "yolov2-tiny", "yolov4-tiny")
+    for name in profitable:
+        assert early_skip_profitable(model_spec(name)), name
+    for name in ladders:
+        assert not early_skip_profitable(model_spec(name)), name
+
+
 def test_resolve_skip_layers_env(monkeypatch):
     from pytorch_yolo_tpu.ops.quant import (early_conv_indices,
                                             head_conv_indices,
@@ -403,10 +420,11 @@ def test_resolve_skip_layers_env(monkeypatch):
 
 
 def test_detector_early_skip_policy(tiny, monkeypatch):
-    """Early skip engages ONLY for conv_conv stems with reduced-precision
-    glue (measured A/B, perf/int8_serving_ab_r3.jsonl); conv_pool families
-    and fp32 glue keep quantize-everything-but-heads.  Env forces both
-    ways."""
+    """Early skip engages ONLY for early-pool-free models with
+    reduced-precision glue (measured A/Bs: perf/int8_serving_ab_r3.jsonl
+    for yolov3, perf/large_r3.jsonl steps 12-13 for the mish families);
+    early-ladder families and fp32 glue keep quantize-everything-but-heads.
+    Env forces both ways."""
     from pytorch_yolo_tpu.ops.quant import early_conv_indices
 
     spec, params = tiny  # conv_pool family
@@ -438,6 +456,20 @@ def test_detector_early_skip_policy(tiny, monkeypatch):
                              compute_dtype=jnp.bfloat16, precision="default")
     assert all("wq" in det_v3_b0.params[i] for i in v3_early)
     assert not det_v3_b0.stem_s2d  # quantized stem: nothing to pack
+
+    # mish conv-chain family (yolov4-csp): the skip engages with bf16 glue
+    # too (perf/large_r3.jsonl step 13 flipped csp int8 from -7% to ~+3%
+    # vs bf16); fp32 glue still quantizes everything-but-heads.
+    monkeypatch.delenv("PYTORCH_YOLO_INT8_EARLY_STRIDE", raising=False)
+    csp = model_spec("yolov4-csp")
+    cspp = fold_batchnorm(csp, random_raw_params(csp, seed=5))
+    csp_early = early_conv_indices(csp, 8)
+    det_csp_b = pyt.Detector(csp, cspp, quant="w8a8",
+                             compute_dtype=jnp.bfloat16, precision="default")
+    assert all("wq" not in det_csp_b.params[i] and "w" in det_csp_b.params[i]
+               for i in csp_early)
+    det_csp_fp = pyt.Detector(csp, cspp, quant="w8a8")
+    assert all("wq" in det_csp_fp.params[i] for i in csp_early)
 
 
 def test_detector_int8_stem_s2d_parity(monkeypatch):
