@@ -379,6 +379,14 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
         "int8-static": Detector(ref.spec, host, quant="w8a8",
                                 quant_calib=imgs[:2]),
+        # The A/B-winning serving combo (--int8 --bf16): bf16 glue, which
+        # also engages the early-layer skip default where profitable
+        # (ops/quant.early_skip_profitable) — drift for the mode users
+        # actually deploy, not just its fp32-glue cousins above.
+        "int8sb(served)": Detector(ref.spec, host, quant="w8a8",
+                                   compute_dtype=jnp.bfloat16,
+                                   precision="default",
+                                   quant_calib=imgs[:2]),
     }
     rows = []
     for name, det in modes.items():
