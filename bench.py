@@ -585,6 +585,15 @@ def main() -> None:
                                           dtype, prec)
                 except Exception as e:
                     log(f"pipelined sweep {dtype} failed: {e}")
+            # headline-mode rows: the shipped compute-mode defaults
+            # (b128, chained x8 dispatch) for the serving dtypes
+            for dtype in ("bfloat16", "int8sb"):
+                try:
+                    measure_compute(args.model, args.size, 128,
+                                    max(args.iters // 3, 5), dtype,
+                                    "default", chain=8)
+                except Exception as e:
+                    log(f"chained sweep {dtype} failed: {e}")
             for fn, fnargs in ((measure_multires, (args.model, max(args.iters // 3, 5))),
                                (measure_stream, (args.model, 50))):
                 for dtype, prec in (("float32", "highest"), ("bfloat16", "default")):
