@@ -84,6 +84,11 @@ def _proxy_map(spec, raw, size, conf):
     # v2's synthetic-weight objectness tops out ~0.77 (region head): a lower
     # conf keeps detections present while the count stays far under max_det
     ("yolov2", 320, 0.6),
+    # scale_x_y=1.05 grid-sensitivity decode + CSP group routes through the
+    # full chain (the v4 dialect; csp's new_coords has its own proxy below).
+    # Synthetic-weight objectness tops out ~0.81 on its two heads — conf
+    # 0.6 keeps a solid GT band above the +0.02 boundary margin.
+    ("yolov4-tiny", 320, 0.6),
 ])
 def test_oracle_chain_map_proxy(model, size, conf):
     spec = model_spec(model)
