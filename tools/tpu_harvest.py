@@ -48,16 +48,21 @@ ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
 B = int(os.environ.get("HARVEST_BATCH", "16"))
 
 def guard(step_id, name, fn):
+    # step_id in every row is the auto-resume contract (harvest_common.
+    # banked_skip_to counts banked ids from the out file): without it a
+    # watchdog-killed attempt restarts at step 1 forever — this tool
+    # predates the convention and burned a tunnel attempt that way (r3).
     if step_id < SKIP_TO:
-        emit(step=name, skipped=True)
+        emit(step=name, step_id=step_id, skipped=True)
         return None
     t0 = time.perf_counter()
     try:
         out = fn()
     except Exception as e:
-        emit(step=name, error=str(e)[:300])
+        emit(step=name, step_id=step_id, error=str(e)[:300])
         return None
-    emit(step=name, seconds=round(time.perf_counter() - t0, 1), result=out)
+    emit(step=name, step_id=step_id,
+         seconds=round(time.perf_counter() - t0, 1), result=out)
     return out
 
 # ---- 1. headline: unfused fp32/HIGHEST --------------------------------
