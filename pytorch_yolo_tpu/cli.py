@@ -552,7 +552,37 @@ def cmd_info(args) -> int:
     ladder = (320, 416, 608) if mod == 32 else (640, 896, 1280)
     for size in ladder:
         print(f"  detections @{size}: {spec.num_detections(size)}")
+    if getattr(args, "int8_plan", False):
+        _print_int8_plan(spec, convs)
     return 0
+
+
+def _print_int8_plan(spec, convs) -> None:
+    """The static-int8 (--int8 --bf16) policy this model gets by default:
+    which convs stay fp and why, how many int8-resident links engage, and
+    which convs are split-concat candidates.  Pure topology — no params
+    are loaded (int8_resident_chains only membership-tests the pytree, so
+    a marker dict stands in for quantized params)."""
+    from .ops.quant import (concat_split_groups, early_conv_indices,
+                            early_skip_profitable, head_conv_indices,
+                            int8_resident_chains)
+
+    heads = head_conv_indices(spec)
+    profitable = early_skip_profitable(spec)
+    early = early_conv_indices(spec, 8) if profitable else frozenset()
+    skip = heads | early
+    quantized = [l.index for l in convs if l.index not in skip]
+    marker = {i: {"wq": None, "sa": None} for i in quantized}
+    chains = int8_resident_chains(spec, marker)
+    splits = concat_split_groups(spec)
+    print("int8 plan (defaults for --int8 --bf16):")
+    print(f"  early-skip profitable: {profitable} "
+          f"({'no early (<8-stride) maxpool ladder' if profitable else 'early maxpool ladder -> int8-resident chains instead'})")
+    print(f"  convs quantized: {len(quantized)}/{len(convs)}  "
+          f"(fp: {len(heads)} head + {len(early)} early)")
+    print(f"  int8-resident chain links: {len(chains)}")
+    print(f"  split-concat candidates (--int8-split-concat): "
+          f"{sorted(splits)}")
 
 
 def cmd_serve(args) -> int:
@@ -680,6 +710,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="print a model summary")
     p.add_argument("--model", default=None)
     p.add_argument("--cfg", default=None)
+    p.add_argument("--int8-plan", action="store_true",
+                   help="also print the static-int8 serving plan this model "
+                        "gets under the defaults (--int8 --bf16): skip set, "
+                        "int8-resident chain links, split-concat candidates")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("serve", help="HTTP detection server (micro-batched)")

@@ -172,6 +172,24 @@ def test_info_command(capsys):
     assert "8,858,734" in out and "detections @416: 2535" in out
 
 
+def test_info_int8_plan(capsys):
+    """--int8-plan prints the default quantization policy: yolov3 engages
+    the early skip (10 early + 3 head convs fp) and flags the measured
+    worst-noise concat convs 87/99; tiny keeps its resident ladder."""
+    rc = main(["info", "--model", "yolov3", "--int8-plan"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "early-skip profitable: True" in out
+    assert "convs quantized: 62/75" in out and "3 head + 10 early" in out
+    assert "[87, 99]" in out
+
+    rc = main(["info", "--model", "yolov3-tiny", "--int8-plan"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "early-skip profitable: False" in out
+    assert "int8-resident chain links: 6" in out
+
+
 def test_module_runner_entry():
     """`python -m pytorch_yolo_tpu` works (package __main__)."""
     import os
