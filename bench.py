@@ -372,13 +372,19 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
             for _ in range(n_imgs)]
+    # Calibration frames are HELD OUT from the drift-eval images (separate
+    # seed) and meet the measured >=4-image saturation minimum
+    # (perf/int8_calib_size_r3.jsonl; CLAUDE.md) regardless of n_imgs —
+    # calibrating on the eval images themselves flatters static int8.
+    calib = [np.random.default_rng(100 + i).integers(
+        0, 256, (480, 640, 3), dtype=np.uint8) for i in range(4)]
     modes = {
         "fp32/high": Detector(ref.spec, host, precision="high"),
         "bf16": Detector(ref.spec, host, compute_dtype=jnp.bfloat16,
                          precision="default"),
         "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
         "int8-static": Detector(ref.spec, host, quant="w8a8",
-                                quant_calib=imgs[:2]),
+                                quant_calib=calib),
         # The A/B-winning serving combo (--int8 --bf16): bf16 glue, which
         # also engages the early-layer skip default where profitable
         # (ops/quant.early_skip_profitable) — drift for the mode users
@@ -386,7 +392,7 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "int8sb(served)": Detector(ref.spec, host, quant="w8a8",
                                    compute_dtype=jnp.bfloat16,
                                    precision="default",
-                                   quant_calib=imgs[:2]),
+                                   quant_calib=calib),
     }
     rows = []
     for name, det in modes.items():
@@ -586,10 +592,15 @@ def main() -> None:
                 except Exception as e:
                     log(f"pipelined sweep {dtype} failed: {e}")
             # headline-mode rows: the shipped compute-mode defaults
-            # (b128, chained x8 dispatch) for the serving dtypes
+            # (chained x8 dispatch) for the serving dtypes.  Batch follows
+            # --batch (capped at the measured b128 knee) so a large-model
+            # sweep (e.g. p7@640 --batch 8) never launches a fresh b128
+            # compile the watchdog would kill mid-flight on the
+            # single-tenant tunnel.
+            cb = min(args.batch, 128)
             for dtype in ("bfloat16", "int8sb"):
                 try:
-                    measure_compute(args.model, args.size, 128,
+                    measure_compute(args.model, args.size, cb,
                                     max(args.iters // 3, 5), dtype,
                                     "default", chain=8)
                 except Exception as e:

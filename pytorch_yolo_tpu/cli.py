@@ -562,25 +562,36 @@ def _print_int8_plan(spec, convs) -> None:
     which convs stay fp and why, how many int8-resident links engage, and
     which convs are split-concat candidates.  Pure topology — no params
     are loaded (int8_resident_chains only membership-tests the pytree, so
-    a marker dict stands in for quantized params)."""
+    a marker dict stands in for quantized params).  Honors
+    PYTORCH_YOLO_INT8_EARLY_STRIDE the same way Detector construction
+    does, so the printout matches a forced-threshold deployment."""
+    import os
+
     from .ops.quant import (concat_split_groups, early_conv_indices,
                             early_skip_profitable, head_conv_indices,
                             int8_resident_chains)
 
     heads = head_conv_indices(spec)
     profitable = early_skip_profitable(spec)
-    early = early_conv_indices(spec, 8) if profitable else frozenset()
+    env = os.environ.get("PYTORCH_YOLO_INT8_EARLY_STRIDE")
+    min_stride = int(env) if env is not None else (8 if profitable else 0)
+    early = (early_conv_indices(spec, min_stride) if min_stride > 1
+             else frozenset())
     skip = heads | early
     quantized = [l.index for l in convs if l.index not in skip]
     marker = {i: {"wq": None, "sa": None} for i in quantized}
     chains = int8_resident_chains(spec, marker)
     splits = concat_split_groups(spec)
     print("int8 plan (defaults for --int8 --bf16):")
-    print(f"  early-skip profitable: {profitable} "
-          f"({'no early (<8-stride) maxpool ladder' if profitable else 'early maxpool ladder -> int8-resident chains instead'})")
+    reason = ("no early (<8-stride) maxpool ladder" if profitable
+              else "early maxpool ladder -> int8-resident chains instead")
+    src = f"env stride<{min_stride}" if env is not None else reason
+    print(f"  early-skip profitable: {profitable} ({src})")
     print(f"  convs quantized: {len(quantized)}/{len(convs)}  "
           f"(fp: {len(heads)} head + {len(early)} early)")
-    print(f"  int8-resident chain links: {len(chains)}")
+    print(f"  int8-resident chain links: {len(chains)} "
+          "(engage only with --int8-calib static scales; "
+          "dynamic int8 has no resident links)")
     print(f"  split-concat candidates (--int8-split-concat): "
           f"{sorted(splits)}")
 
