@@ -18,7 +18,18 @@ def _embedded_source(path: str, var: str) -> str:
     tree = ast.parse(open(os.path.join(REPO, path)).read())
     for node in ast.walk(tree):
         if isinstance(node, ast.Assign) and getattr(node.targets[0], "id", "") == var:
-            return node.value.value
+            if isinstance(node.value, ast.Constant):
+                return node.value.value
+            # CHILD = CHILD_PRELUDE + r"""...""" (the shared-prelude form,
+            # ADVICE r3): import the tool module to resolve the concat.
+            import importlib.util
+
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            spec = importlib.util.spec_from_file_location(
+                "_tool_under_test", os.path.join(REPO, path))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return getattr(mod, var)
     raise AssertionError(f"{var} not found in {path}")
 
 

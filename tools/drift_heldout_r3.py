@@ -15,40 +15,13 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=repr(e)[:400])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
+CHILD = CHILD_PRELUDE + r"""
 guard(1, "drift_yolov3_heldout",
       lambda: bench.measure_drift("yolov3", 416, n_imgs=2))
+
 guard(2, "drift_csp_heldout",
       lambda: bench.measure_drift("yolov4-csp", 416, n_imgs=2))
 

@@ -28,6 +28,48 @@ import sys
 import threading
 import time
 
+# The canonical CHILD preamble (ADVICE r3: this block was copy-pasted into
+# every harvest tool and the copies diverged — tpu_harvest.py shipped without
+# the step_id contract and burned a tunnel attempt).  Tools build their
+# payload as ``CHILD = harvest_common.CHILD_PRELUDE + r\"\"\"...\"\"\"``: the
+# auto-resume contract (guard() rows carry step_id; SKIP_TO honors
+# HARVEST_SKIP_TO) now lives in exactly one place.
+CHILD_PRELUDE = r"""
+import json, os, time
+import numpy as np
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+import bench  # repo-root bench.py: measurement library
+bench._honor_jax_platforms_env()
+import jax
+
+from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))  # resume control
+t_session = time.perf_counter()
+emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
+
+def guard(step_id, name, fn):
+    # step_id in every row is the auto-resume contract (harvest_common.
+    # banked_skip_to counts banked ids from the out file); a row without it
+    # makes a watchdog-killed attempt restart at step 1 forever.
+    if step_id < SKIP_TO:
+        emit(step=name, step_id=step_id, skipped=True)
+        return None
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:
+        emit(step=name, step_id=step_id, error=repr(e)[:400])
+        return None
+    emit(step=name, step_id=step_id,
+         seconds=round(time.perf_counter() - t0, 1), result=out)
+    return out
+"""
+
 
 def child_step_ids(child_src: str) -> list[int]:
     """The ordered guard() step ids declared in a CHILD payload script.

@@ -19,38 +19,10 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=repr(e)[:400])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
+CHILD = CHILD_PRELUDE + r"""
 def es(stride, dtype="int8sb"):
     os.environ["PYTORCH_YOLO_INT8_EARLY_STRIDE"] = str(stride)
     try:
@@ -61,10 +33,13 @@ def es(stride, dtype="int8sb"):
 guard(1, "p7_bf16_b8_control",
       lambda: bench.measure_compute("yolov4-p7", 640, 8, 8,
                                     "bfloat16", "default"))
+
 guard(2, "p7_int8sb_es8_default",
       lambda: bench.measure_compute("yolov4-p7", 640, 8, 8,
                                     "int8sb", "default"))
+
 guard(3, "p7_int8sb_es16", lambda: es(16))
+
 guard(4, "p7_int8sb_es32", lambda: es(32))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))

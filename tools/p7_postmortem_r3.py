@@ -20,38 +20,11 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
+CHILD = CHILD_PRELUDE + r"""
 MODEL, SIZE, B, ITERS = "yolov4-p7", 640, 8, 5
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=repr(e)[:400])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
 
 rng = np.random.default_rng(0)
 
@@ -84,8 +57,11 @@ def stage_profile(dtype_token):
     return rows
 
 guard(1, "pipeline_split_int8sb", lambda: pipeline_split("int8sb"))
+
 guard(2, "pipeline_split_bf16", lambda: pipeline_split("bfloat16"))
+
 guard(3, "stage_profile_int8sb", lambda: stage_profile("int8sb"))
+
 guard(4, "stage_profile_bf16", lambda: stage_profile("bfloat16"))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))

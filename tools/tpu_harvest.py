@@ -25,65 +25,39 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))  # resume control
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
+CHILD = CHILD_PRELUDE + r"""
 MODEL = os.environ.get("HARVEST_MODEL", "yolov3")
+
 ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
+
 B = int(os.environ.get("HARVEST_BATCH", "16"))
 
-def guard(step_id, name, fn):
-    # step_id in every row is the auto-resume contract (harvest_common.
-    # banked_skip_to counts banked ids from the out file): without it a
-    # watchdog-killed attempt restarts at step 1 forever — this tool
-    # predates the convention and burned a tunnel attempt that way (r3).
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. headline: unfused fp32/HIGHEST --------------------------------
 os.environ["PYTORCH_YOLO_NO_PALLAS"] = "1"
+
 guard(1, "headline_fp32_highest_unfused",
       lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "highest"))
 
-# ---- 2. serving modes e2e (unfused) ------------------------------------
 guard(2, "e2e_fp32_high", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "high"))
+
 guard(3, "e2e_bf16", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "bfloat16", "default"))
+
 guard(4, "e2e_int8", lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "int8", "default"))
+
 guard(5, "e2e_bf16_b32", lambda: bench.measure_tpu(MODEL, 416, 2 * B, ITERS, 2, "bfloat16", "default"))
 
-# ---- 3. shape/stream/h2d/drift -----------------------------------------
 guard(6, "multires_bf16", lambda: bench.measure_multires(MODEL, max(ITERS // 3, 2), "bfloat16", "default"))
+
 guard(7, "stream_fp32_highest", lambda: bench.measure_stream(MODEL, 2 * ITERS, "float32", "highest"))
+
 guard(8, "stream_bf16", lambda: bench.measure_stream(MODEL, 2 * ITERS, "bfloat16", "default"))
+
 guard(9, "h2d", lambda: bench.measure_h2d())
+
 guard(10, "drift", lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
 
-# ---- 4. RISKY: Pallas kernels (tiny first), then fused e2e --------------
 del os.environ["PYTORCH_YOLO_NO_PALLAS"]
 
 def pallas_proof():
@@ -116,12 +90,13 @@ def pallas_proof():
             "nms_keepset_ok": ok}
 
 guard(11, "pallas_proof_tiny", pallas_proof)
+
 guard(12, "e2e_fused_fp32_highest",
       lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "float32", "highest"))
+
 guard(13, "e2e_fused_bf16",
       lambda: bench.measure_tpu(MODEL, 416, B, ITERS, 2, "bfloat16", "default"))
 
-# ---- 5. profiles ---------------------------------------------------------
 def profiles(use_pallas):
     from pytorch_yolo_tpu.api import Detector
     from pytorch_yolo_tpu.utils.profiling import profile_pipeline
@@ -129,6 +104,7 @@ def profiles(use_pallas):
     return profile_pipeline(det, size=416, batch=B, iters=max(ITERS // 3, 2))
 
 guard(14, "pipeline_profile_unfused", lambda: profiles(False))
+
 guard(15, "pipeline_profile_fused", lambda: profiles(True))
 
 def stage_profile():
@@ -140,24 +116,27 @@ def stage_profile():
 
 guard(16, "stage_profile_bf16", stage_profile)
 
-# ---- 6. tunnel-aware e2e + on-chip capability (round-2 h2d findings) -----
-# h2d showed the tunnel link is ~0.05 GB/s — raw-frame e2e is pipe-bound at
-# ~65 img/s, u8 canvases bound ~105.  Pipelined u8 overlaps H2D with compute;
-# `compute` rows are the chip-capability numbers with device-resident input.
 guard(17, "pipelined_u8_fp32_highest",
       lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "float32", "highest"))
+
 guard(18, "pipelined_u8_bf16",
       lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "bfloat16", "default"))
+
 guard(19, "pipelined_u8_int8",
       lambda: bench.measure_tpu_pipelined(MODEL, 416, B, ITERS, "int8", "default"))
+
 guard(20, "compute_fp32_highest",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
+
 guard(21, "compute_bf16",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+
 guard(22, "compute_bf16_b32",
       lambda: bench.measure_compute(MODEL, 416, 2 * B, ITERS, "bfloat16", "default"))
+
 guard(23, "compute_bf16_b64",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(24, "compute_int8",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "int8", "default"))
 
@@ -176,82 +155,86 @@ def stream_u8():
     return n / (time.perf_counter() - t0)
 
 guard(25, "stream_u8_bf16", stream_u8)
-# (step 26 was a duplicate scalar-fetch stage profile; retired — step 16
-# runs the same measurement since the profiler fix landed)
 
-# ---- 7. space-to-depth stem (models/darknet.py stem_s2d) -----------------
 os.environ["PYTORCH_YOLO_STEM_S2D"] = "1"
+
 guard(27, "compute_bf16_s2d",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+
 guard(28, "compute_bf16_b64_s2d",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(29, "compute_fp32_highest_s2d",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
+
 guard(30, "stage_profile_bf16_s2d", stage_profile)
+
 del os.environ["PYTORCH_YOLO_STEM_S2D"]
 
-# ---- 8. fixpoint NMS (reworked Pallas kernel + XLA path) -----------------
-# New kernel program hash => fresh Mosaic compile: risky-last, tiny first.
 guard(31, "pallas_proof_fixpoint", pallas_proof)
+
 guard(32, "pipeline_profile_fixpoint_fused", lambda: profiles(True))
+
 guard(33, "pipeline_profile_fixpoint_unfused", lambda: profiles(False))
+
 guard(34, "compute_bf16_final",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "bfloat16", "default"))
+
 guard(35, "compute_bf16_b64_final",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(36, "compute_fp32_highest_final",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "highest"))
 
-# ---- 9. coverage rows: parity-at-speed, latency, scaling, model zoo ------
 guard(37, "compute_fp32_high",  # measured bit-identical to HIGHEST on TPU
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "float32", "high"))
+
 guard(38, "compute_bf16_b128",
       lambda: bench.measure_compute(MODEL, 416, 8 * B, max(ITERS // 4, 5), "bfloat16", "default"))
+
 guard(39, "compute_bf16_b1_latency",
       lambda: bench.measure_compute(MODEL, 416, 1, 3 * ITERS, "bfloat16", "default"))
+
 guard(40, "tiny_compute_bf16_b64",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
+
 guard(41, "tiny_compute_fp32_highest_b64",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "float32", "highest"))
+
 guard(42, "spp_compute_bf16_b64",
       lambda: bench.measure_compute("yolov3-spp", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(43, "v2_compute_bf16_b64",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
 
-# ---- 10. drift of the SHIPPED serving defaults -----------------------------
-# Sessions 1-2 measured bf16 drift before stem_s2d/fixpoint-NMS became the
-# bf16 defaults; this re-measures the exact configuration the headline runs.
 guard(44, "drift_serving_defaults",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
 
-# ---- 11. conv_pool stem S2D (tiny/v2 family) -----------------------------
-# Steps 40/43 are the no-transform baselines.  conv_pool S2D measured a net
-# LOSS and is no longer the auto default (api.py), so these rows must force
-# it on explicitly to keep measuring the transform they are named after.
 os.environ["PYTORCH_YOLO_STEM_S2D"] = "1"
+
 guard(45, "tiny_compute_bf16_b64_s2d",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
+
 guard(46, "v2_compute_bf16_b64_s2d",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5), "bfloat16", "default"))
+
 del os.environ["PYTORCH_YOLO_STEM_S2D"]
 
-# ---- 12. static-calibration int8 (removes per-conv dynamic reductions) ---
 guard(47, "compute_int8_static_b16",
       lambda: bench.measure_compute(MODEL, 416, B, ITERS, "int8s", "default"))
+
 guard(48, "compute_int8_static_b64",
       lambda: bench.measure_compute(MODEL, 416, 4 * B, max(ITERS // 2, 5), "int8s", "default"))
+
 guard(49, "drift_with_int8_static",
       lambda: bench.measure_drift(MODEL, 416, n_imgs=2))
-# v2-tiny: its FUSED pipeline compile hangs the remote toolchain (>900s
-# twice — CLAUDE.md landmine); measure via the kill-switch path only.
+
 os.environ["PYTORCH_YOLO_NO_PALLAS"] = "1"
+
 guard(50, "v2tiny_compute_bf16_b64_nopallas",  # completes the model-zoo table
       lambda: bench.measure_compute("yolov2-tiny", 416, 4 * B, ITERS, "bfloat16", "default"))
-del os.environ["PYTORCH_YOLO_NO_PALLAS"]
 
-# ---- 13. fine-grained forward profile (seeds round-3 roadmap #2) ---------
-# One truncated compile per cut, emitted immediately (a dying attempt keeps
-# its banked rows; the persistent compile cache makes retries ratchet).
+del os.environ["PYTORCH_YOLO_NO_PALLAS"]
 
 def fine_profile():
     import jax.numpy as jnp
@@ -271,8 +254,6 @@ def fine_profile():
     return out
 
 guard(51, "fine_profile_bf16", fine_profile)
-
-# ---- 14. stem micro-benchmarks: is the S2D transform itself the cost? ----
 
 def stem_micro():
     import jax
@@ -322,8 +303,6 @@ def stem_micro():
 
 guard(52, "stem_micro_bf16", stem_micro)
 
-# ---- 15. per-shape conv efficiency (which shapes sit lowest on the MXU) --
-
 def conv_shapes():
     import jax
     import jax.numpy as jnp
@@ -372,11 +351,6 @@ def conv_shapes():
     return rows
 
 guard(53, "conv_shape_efficiency", conv_shapes)
-
-# ---- 16. residual-pair efficiency, floor-free (20 chained pairs / call) --
-# Isolated single ops are dispatch-floor-bound over the tunnel (step 53:
-# every shape ~1.3-2.5 ms regardless of FLOPs) — chain 20 shape-preserving
-# 1x1+3x3 residual pairs inside one jit and difference per-pair cost.
 
 def residual_pairs():
     import jax
@@ -431,10 +405,6 @@ def residual_pairs():
     return rows
 
 guard(54, "residual_pair_efficiency", residual_pairs)
-
-# ---- 17. is the 16%-MXU conv plateau conv-specific or systemic? ----------
-# Three chained variants at the 13² and 52² pair shapes: baseline conv+conv,
-# 1x1-as-dot + conv3x3, and a pure GEMM of the 1x1's shape (dot ceiling).
 
 def conv_vs_dot():
     import jax
@@ -514,11 +484,6 @@ def conv_vs_dot():
 
 guard(55, "conv_vs_dot", conv_vs_dot)
 
-# ---- 18. loop-overhead control: REPS sweep + unrolled chain --------------
-# If per-iteration time is REPS-invariant and unrolled==fori, the pair
-# costs are real compute; if per-iter drops with REPS or unrolling, the
-# step-54/55 numbers carry a fixed per-iteration artifact.
-
 def loop_control():
     import jax
     import jax.numpy as jnp
@@ -571,11 +536,6 @@ def loop_control():
     return rows
 
 guard(56, "loop_overhead_control", loop_control)
-
-# ---- 19. int8 conv MXU rate: does XLA use the 2x int8 path? --------------
-# Chained residual pairs with int8 operands (static scales, int32 accum,
-# fp32 rescale + leaky + requant — the real W8A8 body loop), REPS=80 to
-# amortize the call floor. Compare TFLOP/s vs the bf16 pair (135 TF).
 
 def int8_pairs():
     import jax

@@ -25,43 +25,15 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
+CHILD = CHILD_PRELUDE + r"""
 import jax.numpy as jnp
 
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
 B = int(os.environ.get("HARVEST_BATCH", "16"))
+
 ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. new_coords fused Pallas decode: exact on hardware -----------------
 
 def pallas_new_coords_parity():
     from pytorch_yolo_tpu.ops.pallas_kernels import (decode_score_head,
@@ -80,8 +52,6 @@ def pallas_new_coords_parity():
             "cls_ids_equal": bool((ours[..., 6] == ref[..., 6]).all())}
 
 guard(1, "pallas_new_coords_parity", pallas_new_coords_parity)
-
-# ---- 2. yolov4-csp full pipeline: Pallas vs jnp on TPU --------------------
 
 def csp_pallas_vs_jnp():
     from pytorch_yolo_tpu.api import Detector, _PipelineKey
@@ -113,32 +83,28 @@ def csp_pallas_vs_jnp():
 
 guard(2, "csp_pallas_vs_jnp_fp32", csp_pallas_vs_jnp)
 
-# ---- 3. compute-mode throughput rows --------------------------------------
-
 guard(3, "csp_bf16_b64",
       lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
                                     max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(4, "csp_int8s_b64",
       lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
                                     max(ITERS // 2, 5), "int8s", "default"))
+
 guard(5, "csp_int8sb_b64",
       lambda: bench.measure_compute("yolov4-csp", 416, 4 * B,
                                     max(ITERS // 2, 5), "int8sb", "default"))
 
-# weather controls: banked 1343.8 (b64) and 1397 (b128) bf16
 guard(6, "control_yolov3_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 4 * B,
                                     max(ITERS // 2, 5), "bfloat16", "default"))
+
 guard(7, "control_yolov3_bf16_b128",
       lambda: bench.measure_compute("yolov3", 416, 8 * B,
                                     max(ITERS // 2, 5), "bfloat16", "default"))
 
-# ---- 4. serving drift vs fp32/HIGHEST -------------------------------------
-
 guard(8, "drift_csp", lambda: bench.measure_drift("yolov4-csp", 416,
                                                   n_imgs=2))
-
-# ---- 5. yolov4x-mish (CSP-X, 97M params): first hardware row --------------
 
 guard(9, "xmish_bf16_b32",
       lambda: bench.measure_compute("yolov4x-mish", 416, 2 * B,

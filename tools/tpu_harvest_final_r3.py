@@ -32,77 +32,36 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. the exact driver headline (bench.py defaults as shipped) ----------
-
+CHILD = CHILD_PRELUDE + r"""
 guard(1, "headline_yolov3_bf16_b128_chain8",
       lambda: bench.measure_compute("yolov3", 416, 128, 15,
                                     "bfloat16", "default", chain=8))
-
-# ---- 2. weather control, comparable to all prior sessions -----------------
 
 guard(2, "control_yolov3_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "bfloat16", "default"))
 
-# ---- 3. v4-family int8sb at b64 via the new early-skip DEFAULT ------------
-# (large steps 12-13 forced the skip via env; these rows go through
-# early_skip_profitable — expect ~1378 csp / ~1231 v4 if the default
-# reproduces the forced rows.)
-
 guard(3, "csp_int8sb_default_b64",
       lambda: bench.measure_compute("yolov4-csp", 416, 64, 10,
                                     "int8sb", "default"))
+
 guard(4, "v4_int8sb_default_b64",
       lambda: bench.measure_compute("yolov4", 416, 64, 10,
                                     "int8sb", "default"))
 
-# ---- 4. csp drift with the served int8sb row (skip engaged) ---------------
-
 guard(5, "drift_csp_with_served_row",
       lambda: bench.measure_drift("yolov4-csp", 416, n_imgs=2))
-
-# ---- 5. p5 int8sb (new datum; skip engages — p-family is early-pool-free) -
 
 guard(6, "p5_bf16_b32_control",
       lambda: bench.measure_compute("yolov4-p5", 416, 32, 8,
                                     "bfloat16", "default"))
+
 guard(7, "p5_int8sb_b32",
       lambda: bench.measure_compute("yolov4-p5", 416, 32, 8,
                                     "int8sb", "default"))
-
-# ---- 6. the top throughput row via shipped defaults ------------------------
 
 guard(8, "yolov3_int8sb_b128_chain8",
       lambda: bench.measure_compute("yolov3", 416, 128, 8,

@@ -28,68 +28,39 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
+CHILD = CHILD_PRELUDE + r"""
 import jax.numpy as jnp
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. batch frontier: yolov3 bf16 + int8sb -------------------------------
 
 guard(1, "yolov3_bf16_b64_ctl",
       lambda: bench.measure_compute("yolov3", 416, 64, 15, "bfloat16", "default"))
+
 guard(2, "yolov3_bf16_b96",
       lambda: bench.measure_compute("yolov3", 416, 96, 12, "bfloat16", "default"))
+
 guard(3, "yolov3_bf16_b128",
       lambda: bench.measure_compute("yolov3", 416, 128, 10, "bfloat16", "default"))
+
 guard(4, "yolov3_int8sb_b64_ctl",
       lambda: bench.measure_compute("yolov3", 416, 64, 15, "int8sb", "default"))
+
 guard(5, "yolov3_int8sb_b128",
       lambda: bench.measure_compute("yolov3", 416, 128, 10, "int8sb", "default"))
-
-# ---- 2. max_det ladder at b64 bf16 -----------------------------------------
 
 guard(6, "yolov3_bf16_b64_md150",
       lambda: bench.measure_compute("yolov3", 416, 64, 15, "bfloat16",
                                     "default", max_det=150))
+
 guard(7, "yolov3_bf16_b64_md100",
       lambda: bench.measure_compute("yolov3", 416, 64, 15, "bfloat16",
                                     "default", max_det=100))
+
 guard(8, "yolov3_bf16_b64_md50",
       lambda: bench.measure_compute("yolov3", 416, 64, 15, "bfloat16",
                                     "default", max_det=50))
 
-# clipping check: at conf 0.6 on synthetic weights, how many images would a
-# smaller candidate set actually truncate?  (max_det both selects the top-K
-# NMS candidates AND caps the output rows; a row is "clipped" when every
-# output slot is valid, i.e. candidates >= K existed.)
 def maxdet_clipping():
     from pytorch_yolo_tpu.api import Detector, _PipelineKey
     rng = np.random.default_rng(7)
@@ -110,17 +81,18 @@ def maxdet_clipping():
 
 guard(9, "maxdet_clipping_fp32", maxdet_clipping)
 
-# ---- 3. tiny-class models at b256; multires frontier ------------------------
-
 guard(10, "v3tiny_bf16_b256",
       lambda: bench.measure_compute("yolov3-tiny", 416, 256, 10,
                                     "bfloat16", "default"))
+
 guard(11, "v4tiny_bf16_b256",
       lambda: bench.measure_compute("yolov4-tiny", 416, 256, 10,
                                     "bfloat16", "default"))
+
 guard(12, "yolov3_bf16_608_b32",
       lambda: bench.measure_compute("yolov3", 608, 32, 10,
                                     "bfloat16", "default"))
+
 guard(13, "yolov3_int8sb_608_b32",
       lambda: bench.measure_compute("yolov3", 608, 32, 10,
                                     "int8sb", "default"))

@@ -24,50 +24,26 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
+CHILD = CHILD_PRELUDE + r"""
 guard(1, "control_yolov3_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "bfloat16", "default"))
+
 guard(2, "yolov3_int8sb_b1_latency",
       lambda: bench.measure_compute("yolov3", 416, 1, 50,
                                     "int8sb", "default"))
+
 guard(3, "xmish_int8sb_b32",
       lambda: bench.measure_compute("yolov4x-mish", 416, 32, 8,
                                     "int8sb", "default"))
+
 guard(4, "p6_int8sb_640_b8",
       lambda: bench.measure_compute("yolov4-p6", 640, 8, 8,
                                     "int8sb", "default"))
+
 guard(5, "p7_int8sb_640_b8",
       lambda: bench.measure_compute("yolov4-p7", 640, 8, 8,
                                     "int8sb", "default"))

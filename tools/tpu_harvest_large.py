@@ -29,40 +29,11 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
+CHILD = CHILD_PRELUDE + r"""
 import jax.numpy as jnp
-
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. 4-anchor fused Pallas decode: exact on hardware -------------------
 
 def pallas_4anchor_parity():
     from pytorch_yolo_tpu.ops.pallas_kernels import (decode_score_head,
@@ -80,8 +51,6 @@ def pallas_4anchor_parity():
             "cls_ids_equal": bool((ours[..., 6] == ref[..., 6]).all())}
 
 guard(1, "pallas_4anchor_parity", pallas_4anchor_parity)
-
-# ---- 2. yolov4-p5 full pipeline: Pallas vs jnp on TPU ---------------------
 
 def p5_pallas_vs_jnp():
     from pytorch_yolo_tpu.api import Detector, _PipelineKey
@@ -113,14 +82,14 @@ def p5_pallas_vs_jnp():
 
 guard(2, "p5_pallas_vs_jnp_fp32", p5_pallas_vs_jnp)
 
-# ---- 3. compute-mode throughput rows --------------------------------------
-
 guard(3, "p5_bf16_416_b32",
       lambda: bench.measure_compute("yolov4-p5", 416, 32, 10,
                                     "bfloat16", "default"))
+
 guard(4, "p5_bf16_896_b8",
       lambda: bench.measure_compute("yolov4-p5", 896, 8, 10,
                                     "bfloat16", "default"))
+
 guard(5, "p6_bf16_640_b8",
       lambda: bench.measure_compute("yolov4-p6", 640, 8, 10,
                                     "bfloat16", "default"))
@@ -129,38 +98,23 @@ guard(6, "control_yolov3_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "bfloat16", "default"))
 
-# ---- 4. p5 serving drift vs fp32/HIGHEST ----------------------------------
-
 guard(7, "drift_p5", lambda: bench.measure_drift("yolov4-p5", 416, n_imgs=2))
-
-# ---- 5. batch frontier past b128 (frontier_r3 stopped there: 1397) --------
 
 guard(8, "yolov3_bf16_b192",
       lambda: bench.measure_compute("yolov3", 416, 192, 10,
                                     "bfloat16", "default"))
+
 guard(9, "yolov3_bf16_b256",
       lambda: bench.measure_compute("yolov3", 416, 256, 10,
                                     "bfloat16", "default"))
 
-# ---- 6. yolov4-p7 (stride-128 head, %128 sizes): first hardware rows ------
-# 640 is the smallest productive %128 size (5x the deepest stride); the
-# native-1536 b1 row exercises the 192^2-spatial stride-8 head block in
-# Mosaic and the 338M-param bf16 body (~677 MB weights) in HBM.
-
 guard(10, "p7_bf16_640_b8",
       lambda: bench.measure_compute("yolov4-p7", 640, 8, 10,
                                     "bfloat16", "default"))
+
 guard(11, "p7_bf16_1536_b1",
       lambda: bench.measure_compute("yolov4-p7", 1536, 1, 5,
                                     "bfloat16", "default"))
-
-# ---- 7. v4-family early-skip int8 A/B (never measured for mish stems) -----
-# _stem_pattern gates the early-skip default on leaky conv_conv stems, so
-# the v4 family serves int8 quantize-all-but-heads by default — and its
-# banked int8 rows LOSE to bf16 (v4 int8sb 998 vs bf16 1099, v4_family_r3).
-# The session-2 stage profile showed early large-spatial stages are slower
-# quantized regardless of family; test whether forcing stride<8 convs back
-# to bf16 lifts v4/csp int8 above bf16 (env read at Detector construction).
 
 def _earlyskip(model):
     os.environ["PYTORCH_YOLO_INT8_EARLY_STRIDE"] = "8"
@@ -170,61 +124,52 @@ def _earlyskip(model):
         os.environ.pop("PYTORCH_YOLO_INT8_EARLY_STRIDE", None)
 
 guard(12, "v4_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4"))
-guard(13, "csp_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4-csp"))
 
-# ---- 8. chained-dispatch A/B (bench --chain): does fori_loop-chaining the
-# whole pipeline cancel the measured ~8.6 ms/call tunnel floor, and does it
-# reproduce the floor-free projection (b64 bf16 ~1490, PERF.md r3)?  Gates
-# flipping the bench headline default to chained dispatch.
+guard(13, "csp_int8sb_earlyskip_b64", lambda: _earlyskip("yolov4-csp"))
 
 guard(14, "yolov3_bf16_b64_chain1",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "bfloat16", "default"))
+
 guard(15, "yolov3_bf16_b64_chain8",
       lambda: bench.measure_compute("yolov3", 416, 64, 5,
                                     "bfloat16", "default", chain=8))
+
 guard(16, "yolov3_bf16_b128_chain8",
       lambda: bench.measure_compute("yolov3", 416, 128, 5,
                                     "bfloat16", "default", chain=8))
+
 guard(17, "yolov3_int8sb_b128_chain8",
       lambda: bench.measure_compute("yolov3", 416, 128, 5,
                                     "int8sb", "default", chain=8))
 
-# native-resolution completion: p5@896 (step 4) + p6@1280 + p7@1536 (step 11)
 guard(18, "p6_bf16_1280_b2",
       lambda: bench.measure_compute("yolov4-p6", 1280, 2, 5,
                                     "bfloat16", "default"))
 
-# ---- 9. noisy-skip int8sb speed cost (same-session control pair) -----------
-# The accuracy recovery is CPU-measured and transfers (exact int8 math);
-# what only hardware can answer is the throughput cost of keeping the 8
-# noisiest convs (the post-route-concat 1x1s + head trunk) in bf16.
-
 guard(19, "yolov3_int8sb_b64_control",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default"))
+
 guard(20, "yolov3_int8sb_noisy8_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_skip_noisy=8))
-# split-concat: per-branch scales for route-concat convs — same MXU MACs
-# as the control (the conv splits along the reduction dim), so this A/B
-# pins whether two K-split convs cost more wall time than one on Mosaic.
+
 guard(21, "yolov3_int8sb_splitcat_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_split_concat=True))
-# per-channel smoothed grids: the quantizer multiplies by a (C,) vector
-# instead of a scalar — should be speed-neutral on the VPU; pin it.
+
 guard(22, "yolov3_int8sb_smooth_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "int8sb", "default",
                                     quant_smooth=0.5))
-# weight-only int8 (bf16 activations): no int8 MXU path, but 2x less
-# weight HBM traffic than bf16 — where does it land vs bf16/int8sb?
+
 guard(23, "yolov3_w8_b64",
       lambda: bench.measure_compute("yolov3", 416, 64, 10,
                                     "w8", "default"))
+
 guard(24, "yolov3_w8_b1_latency",
       lambda: bench.measure_compute("yolov3", 416, 1, 30,
                                     "w8", "default"))

@@ -26,43 +26,15 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
+CHILD = CHILD_PRELUDE + r"""
 import jax.numpy as jnp
 
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
 B = int(os.environ.get("HARVEST_BATCH", "16"))
+
 ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- A. fp32 HIGH vs HIGHEST bit-compare ladder --------------------------
 
 def pin_high(model, size, batch):
     from pytorch_yolo_tpu.api import Detector, _PipelineKey
@@ -85,13 +57,16 @@ def pin_high(model, size, batch):
             "max_abs_diffs": diffs}
 
 guard(2, "pin_yolov3_416_b16", lambda: pin_high("yolov3", 416, B))
-guard(3, "pin_yolov3_608_b8", lambda: pin_high("yolov3", 608, B // 2))
-guard(4, "pin_tiny_416_b16", lambda: pin_high("yolov3-tiny", 416, B))
-guard(5, "pin_tiny_320_b16", lambda: pin_high("yolov3-tiny", 320, B))
-guard(6, "pin_spp_416_b16", lambda: pin_high("yolov3-spp", 416, B))
-guard(7, "pin_v2_416_b16", lambda: pin_high("yolov2", 416, B))
 
-# ---- B. int8-static attribution + resident A/B ---------------------------
+guard(3, "pin_yolov3_608_b8", lambda: pin_high("yolov3", 608, B // 2))
+
+guard(4, "pin_tiny_416_b16", lambda: pin_high("yolov3-tiny", 416, B))
+
+guard(5, "pin_tiny_320_b16", lambda: pin_high("yolov3-tiny", 320, B))
+
+guard(6, "pin_spp_416_b16", lambda: pin_high("yolov3-spp", 416, B))
+
+guard(7, "pin_v2_416_b16", lambda: pin_high("yolov2", 416, B))
 
 def int8s_det(model="yolov3", skip="heads"):
     from pytorch_yolo_tpu.api import Detector
@@ -113,30 +88,34 @@ def int8s_stage_profile():
                           iters=max(ITERS // 4, 2))
 
 guard(8, "int8s_pipeline_profile_b16", int8s_pipeline_profile)
+
 guard(9, "int8s_stage_profile_b16", int8s_stage_profile)
 
-# resident (default) vs fp32-glue (kill-switch) pipeline rows
 guard(10, "compute_int8s_b16_resident",
       lambda: bench.measure_compute("yolov3", 416, B, ITERS, "int8s", "default"))
+
 guard(11, "compute_int8s_b64_resident",
       lambda: bench.measure_compute("yolov3", 416, 4 * B, max(ITERS // 2, 5),
                                     "int8s", "default"))
+
 os.environ["PYTORCH_YOLO_NO_INT8_RESIDENT"] = "1"
+
 guard(12, "compute_int8s_b16_glue",
       lambda: bench.measure_compute("yolov3", 416, B, ITERS, "int8s", "default"))
+
 guard(13, "compute_int8s_b64_glue",
       lambda: bench.measure_compute("yolov3", 416, 4 * B, max(ITERS // 2, 5),
                                     "int8s", "default"))
+
 del os.environ["PYTORCH_YOLO_NO_INT8_RESIDENT"]
 
-# same-session bf16 baselines (tunnel weather control)
 guard(14, "compute_bf16_b16",
       lambda: bench.measure_compute("yolov3", 416, B, ITERS, "bfloat16", "default"))
+
 guard(15, "compute_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 4 * B, max(ITERS // 2, 5),
                                     "bfloat16", "default"))
 
-# full-coverage int8 (heads quantized too): the last fp islands
 def compute_full_int8(batch, iters):
     from pytorch_yolo_tpu.api import _PipelineKey
 
@@ -158,7 +137,6 @@ def compute_full_int8(batch, iters):
 guard(16, "compute_int8s_full_b64",
       lambda: compute_full_int8(4 * B, max(ITERS // 2, 5)))
 
-# drift of the resident path (and everything else) vs fp32/HIGHEST
 guard(17, "drift_resident_defaults",
       lambda: bench.measure_drift("yolov3", 416, n_imgs=2))
 
@@ -177,31 +155,34 @@ def drift_full_int8():
 
 guard(18, "drift_int8s_full", drift_full_int8)
 
-# tiny + v2 (conv->maxpool->conv ladders ride the resident path hardest)
 guard(19, "tiny_int8s_b64_resident",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS,
                                     "int8s", "default"))
+
 os.environ["PYTORCH_YOLO_NO_INT8_RESIDENT"] = "1"
+
 guard(20, "tiny_int8s_b64_glue",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS,
                                     "int8s", "default"))
+
 del os.environ["PYTORCH_YOLO_NO_INT8_RESIDENT"]
+
 guard(21, "tiny_bf16_b64",
       lambda: bench.measure_compute("yolov3-tiny", 416, 4 * B, ITERS,
                                     "bfloat16", "default"))
+
 guard(22, "v2_int8s_b64_resident",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5),
                                     "int8s", "default"))
+
 guard(23, "v2_bf16_b64",
       lambda: bench.measure_compute("yolov2", 416, 4 * B, max(ITERS // 2, 5),
                                     "bfloat16", "default"))
 
-# int8 batch-1 latency (serving floor)
 guard(24, "int8s_b1_latency",
       lambda: bench.measure_compute("yolov3", 416, 1, 3 * ITERS,
                                     "int8s", "default"))
 
-# ---- C. headline re-check (driver-default config) ------------------------
 guard(25, "headline_bf16_b64_final",
       lambda: bench.measure_compute("yolov3", 416, 4 * B, max(ITERS // 2, 5),
                                     "bfloat16", "default"))

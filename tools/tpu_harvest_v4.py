@@ -23,43 +23,15 @@ from __future__ import annotations
 import os
 import sys
 
-CHILD = r"""
-import json, os, time
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from harvest_common import CHILD_PRELUDE
 
-def emit(**kw):
-    print(json.dumps(kw), flush=True)
-
-import bench  # repo-root bench.py: measurement library
-bench._honor_jax_platforms_env()
-import jax
+CHILD = CHILD_PRELUDE + r"""
 import jax.numpy as jnp
 
-from pytorch_yolo_tpu.utils.compile_cache import enable_compilation_cache
-enable_compilation_cache()
-
-SKIP_TO = int(os.environ.get("HARVEST_SKIP_TO", "0"))
-t_session = time.perf_counter()
-emit(step="devices", devices=str(jax.devices()), backend=jax.default_backend())
-
 B = int(os.environ.get("HARVEST_BATCH", "16"))
+
 ITERS = int(os.environ.get("HARVEST_ITERS", "20"))
-
-def guard(step_id, name, fn):
-    if step_id < SKIP_TO:
-        emit(step=name, step_id=step_id, skipped=True)
-        return None
-    t0 = time.perf_counter()
-    try:
-        out = fn()
-    except Exception as e:
-        emit(step=name, step_id=step_id, error=str(e)[:300])
-        return None
-    emit(step=name, step_id=step_id,
-         seconds=round(time.perf_counter() - t0, 1), result=out)
-    return out
-
-# ---- 1. scale_x_y Pallas decode: exact on hardware ------------------------
 
 def pallas_scale_xy_parity():
     from pytorch_yolo_tpu.ops.pallas_kernels import (decode_score_head,
@@ -79,8 +51,6 @@ def pallas_scale_xy_parity():
     return rows
 
 guard(1, "pallas_scale_xy_parity", pallas_scale_xy_parity)
-
-# ---- 2. yolov4-tiny full pipeline: Pallas vs jnp on TPU -------------------
 
 def v4tiny_pallas_vs_jnp():
     from pytorch_yolo_tpu.api import Detector, _PipelineKey
@@ -112,37 +82,37 @@ def v4tiny_pallas_vs_jnp():
 
 guard(2, "v4tiny_pallas_vs_jnp_fp32", v4tiny_pallas_vs_jnp)
 
-# ---- 3. compute-mode throughput rows --------------------------------------
-
 guard(3, "v4tiny_bf16_b64",
       lambda: bench.measure_compute("yolov4-tiny", 416, 4 * B, ITERS,
                                     "bfloat16", "default"))
+
 guard(4, "v4tiny_int8s_b64",
       lambda: bench.measure_compute("yolov4-tiny", 416, 4 * B, ITERS,
                                     "int8s", "default"))
+
 guard(5, "v4_bf16_b16",
       lambda: bench.measure_compute("yolov4", 416, B, ITERS,
                                     "bfloat16", "default"))
+
 guard(6, "v4_bf16_b64",
       lambda: bench.measure_compute("yolov4", 416, 4 * B, max(ITERS // 2, 5),
                                     "bfloat16", "default"))
+
 guard(7, "v4_int8s_b64",
       lambda: bench.measure_compute("yolov4", 416, 4 * B, max(ITERS // 2, 5),
                                     "int8s", "default"))
+
 guard(8, "v4_int8sb_b64",
       lambda: bench.measure_compute("yolov4", 416, 4 * B, max(ITERS // 2, 5),
                                     "int8sb", "default"))
 
-# weather control: same-session flagship yolov3 row (compare to the banked
-# 1343.8 bf16 / 1601.7 int8sb b64 — perf/int8_serving_ab_r3.jsonl)
 guard(9, "control_yolov3_bf16_b64",
       lambda: bench.measure_compute("yolov3", 416, 4 * B, max(ITERS // 2, 5),
                                     "bfloat16", "default"))
 
-# ---- 4. serving drift vs fp32/HIGHEST -------------------------------------
-
 guard(10, "drift_v4tiny", lambda: bench.measure_drift("yolov4-tiny", 416,
                                                       n_imgs=2))
+
 guard(11, "drift_v4", lambda: bench.measure_drift("yolov4", 416, n_imgs=2))
 
 emit(step="done", total_s=round(time.perf_counter() - t_session, 1))
