@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 from typing import NamedTuple, Sequence
 
@@ -39,6 +40,8 @@ from .parallel.sharding import (
 )
 from .utils.names import load_classes
 from .weights import Params, load_weights, random_raw_params, fold_batchnorm
+
+log = logging.getLogger(__name__)
 
 
 class Detection(NamedTuple):
@@ -231,15 +234,18 @@ class Detector:
             # early-pool families keep their int8-resident ladders (tiny:
             # 4566 quantize-all vs 3350/4288 skipped).  Env
             # PYTORCH_YOLO_INT8_EARLY_STRIDE forces either way.
-            from .ops.quant import (collect_act_scales, early_skip_profitable,
+            from .ops.quant import (collect_act_scales,
+                                    default_early_min_stride,
                                     quantize_params, resolve_skip_layers)
 
             # w8 has no activation quantization, so the early-stride skip
             # (an activation-requant-cost mitigation) is irrelevant —
-            # quantize every non-head conv's weights.
-            early_default = 8 if (
+            # quantize every non-head conv's weights.  The threshold itself
+            # is the measured per-topology policy (stride 8 for most
+            # early-skip-profitable families, 32 for the stride-128-deep
+            # p7 ladder — ops/quant.default_early_min_stride).
+            early_default = default_early_min_stride(spec) if (
                 quant == "w8a8"
-                and early_skip_profitable(spec)
                 and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float16)
             ) else 0
             quant_skip_layers = resolve_skip_layers(
@@ -588,6 +594,16 @@ class Detector:
     # ------------------------------------------------------------------
 
     def _build_pipeline(self, key: _PipelineKey):
+        if key.batch == 1 and self.quant == "w8a8":
+            # Measured own-goal guardrail (VERDICT r3 #6): EVERY zoo family
+            # is slower quantized at batch 1 — the requant epilogues are
+            # pure overhead when the batch can't fill the MXU (yolov3 b1:
+            # 3.10 ms int8sb vs 1.58 bf16, perf/gaps_r3.jsonl).
+            log.warning(
+                "building a batch-1 pipeline on an int8 (w8a8) detector: "
+                "batch-1 latency measured ~2x WORSE quantized on every zoo "
+                "family (yolov3: 3.10 ms int8 vs 1.58 bf16 — "
+                "perf/gaps_r3.jsonl); serve batch-1 with bf16 instead")
         forward = self._forward
         spec = self.spec
         score_mode = self.score_mode

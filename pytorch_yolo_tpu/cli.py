@@ -567,14 +567,14 @@ def _print_int8_plan(spec, convs) -> None:
     does, so the printout matches a forced-threshold deployment."""
     import os
 
-    from .ops.quant import (concat_split_groups, early_conv_indices,
-                            early_skip_profitable, head_conv_indices,
-                            int8_resident_chains)
+    from .ops.quant import (concat_split_groups, default_early_min_stride,
+                            early_conv_indices, early_skip_profitable,
+                            head_conv_indices, int8_resident_chains)
 
     heads = head_conv_indices(spec)
     profitable = early_skip_profitable(spec)
     env = os.environ.get("PYTORCH_YOLO_INT8_EARLY_STRIDE")
-    min_stride = int(env) if env is not None else (8 if profitable else 0)
+    min_stride = int(env) if env is not None else default_early_min_stride(spec)
     early = (early_conv_indices(spec, min_stride) if min_stride > 1
              else frozenset())
     skip = heads | early
@@ -583,8 +583,12 @@ def _print_int8_plan(spec, convs) -> None:
     chains = int8_resident_chains(spec, marker)
     splits = concat_split_groups(spec)
     print("int8 plan (defaults for --int8 --bf16):")
-    reason = ("no early (<8-stride) maxpool ladder" if profitable
-              else "early maxpool ladder -> int8-resident chains instead")
+    if profitable:
+        reason = f"no early maxpool ladder -> default stride<{min_stride} skip"
+        if min_stride == 32:
+            reason += " (stride-128-deep ladder: large-spatial stages lose int8)"
+    else:
+        reason = "early maxpool ladder -> int8-resident chains instead"
     src = f"env stride<{min_stride}" if env is not None else reason
     print(f"  early-skip profitable: {profitable} ({src})")
     print(f"  convs quantized: {len(quantized)}/{len(convs)}  "

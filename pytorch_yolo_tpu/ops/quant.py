@@ -107,6 +107,38 @@ def early_skip_profitable(spec: ModelSpec, min_stride: int = 8) -> bool:
                    for l in spec.layers)
 
 
+def default_early_min_stride(spec: ModelSpec) -> int:
+    """The measured early-skip stride threshold for this topology (the
+    VERDICT-r3 size-aware default, pinned on hardware A/Bs).
+
+    0 = no early skip (conv->maxpool->conv ladder families keep their
+    int8-resident chains: tiny 4566 quantize-all vs 3350/4288 skipped —
+    :func:`early_skip_profitable`).  Everything else gets the stride-8
+    skip that the b64 A/Bs made the serving default (yolov3 1602 vs 1420,
+    csp 1378 vs 1229, perf/int8_serving_ab_r3 / large_r3) — EXCEPT the
+    deepest ladder class.
+
+    The discriminator for the deeper threshold is the model's deepest
+    head stride, NOT the input size: at the same served size (640) and
+    the same stride-8 threshold, yolov4x-mish WINS int8 (+3.3%, 566 vs
+    548) and yolov4-p6 ties (+0.7%) while yolov4-p7 LOSES 9.5% (139 vs
+    154) — perf/gaps_r3.jsonl.  p7's loss is its stride-8/16 stages'
+    spatial requant tax (80²/40² maps: 10.8 ms int8 vs 5.9 bf16, 5.2 vs
+    3.2 — perf/p7_postmortem_r3.jsonl), which its stride-32..128 tail
+    cannot win back (those stages measure even under int8); the es
+    ladder recovered 139.1 -> es16 148.7 -> es32 152.3 vs bf16 154.6
+    (perf/p7_es_ab_r3.jsonl).  Only the stride-128-deep five-scale
+    ladder has that much large-spatial depth, so only it gets the
+    stride-32 threshold.  Round-4 A/B rows (p6/v4 es ladders) bank the
+    evidence for the neighboring classes; revisit when real weights land.
+    """
+    if not early_skip_profitable(spec):
+        return 0
+    from ..config import head_strides
+
+    return 32 if max(head_strides(spec)) >= 128 else 8
+
+
 def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:
     """Convs operating on large-spatial tensors (input stride < min_stride).
 

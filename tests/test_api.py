@@ -126,6 +126,24 @@ def test_zoo_name_load_random_weights():
     assert isinstance(r, pyt.Detection)
 
 
+def test_batch1_int8_guardrail_warns(tiny_assets, tiny_detector, caplog):
+    """An int8 detector building a batch-1 pipeline logs the measured
+    warning (every family is slower quantized at b1 — perf/gaps_r3.jsonl);
+    bf16 batch-1 and int8 batch>1 stay silent (VERDICT r3 #6)."""
+    import logging
+
+    cfg, weights, spec, raw = tiny_assets
+    det_q = pyt.Detector.load(cfg, weights, quant="w8a8")
+    with caplog.at_level(logging.WARNING, logger="pytorch_yolo_tpu.api"):
+        det_q.detect(_image(), size=64, conf=0.9)
+    assert any("batch-1" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pytorch_yolo_tpu.api"):
+        det_q.detect_batch(np.stack([_image(), _image(1)]), size=64, conf=0.9)
+        tiny_detector.detect(_image(), size=64, conf=0.9)
+    assert not any("batch-1" in r.message for r in caplog.records)
+
+
 def test_pipeline_cache_reuse(tiny_detector):
     img = _image(5)
     tiny_detector.detect(img, conf=0.3)

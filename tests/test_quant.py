@@ -396,6 +396,23 @@ def test_early_skip_profitable_splits_zoo_on_early_pools():
         assert not early_skip_profitable(model_spec(name)), name
 
 
+def test_default_early_min_stride_policy():
+    """The per-topology threshold must reproduce the measured zoo verdicts
+    (perf/gaps_r3.jsonl: at served 640/es8 x-mish WINS +3.3% and p6 ties
+    while p7 loses 9.5%; perf/p7_es_ab_r3.jsonl: p7 es32 recovers 139->152):
+    stride-8 skip for every early-skip-profitable family EXCEPT the
+    stride-128-deep five-scale ladder, which gets 32; ladder families 0."""
+    from pytorch_yolo_tpu.ops.quant import default_early_min_stride
+
+    expect = {"yolov3": 8, "yolov3-spp": 8, "yolov4": 8, "yolov4-csp": 8,
+              "yolov4x-mish": 8, "yolov4-p5": 8, "yolov4-p6": 8,
+              "yolov4-p7": 32,
+              "yolov3-tiny": 0, "yolov2": 0, "yolov2-tiny": 0,
+              "yolov4-tiny": 0}
+    for name, want in expect.items():
+        assert default_early_min_stride(model_spec(name)) == want, name
+
+
 def test_resolve_skip_layers_env(monkeypatch):
     from pytorch_yolo_tpu.ops.quant import (early_conv_indices,
                                             head_conv_indices,
