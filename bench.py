@@ -383,8 +383,12 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "bf16": Detector(ref.spec, host, compute_dtype=jnp.bfloat16,
                          precision="default"),
         "int8(skip-heads)": Detector(ref.spec, host, quant="w8a8"),
+        # quant_recipe="none" on the two plain-calibration rows below: the
+        # round-4 default makes bare quant_calib apply the recipe, but
+        # these rows exist to keep the historical no-recipe bounds
+        # comparable (perf/drift_heldout_r3.jsonl lineage).
         "int8-static": Detector(ref.spec, host, quant="w8a8",
-                                quant_calib=calib),
+                                quant_calib=calib, quant_recipe="none"),
         # The A/B-winning serving combo (--int8 --bf16): bf16 glue, which
         # also engages the early-layer skip default where profitable
         # (ops/quant.early_skip_profitable) — drift for the mode users
@@ -392,7 +396,7 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "int8sb(served)": Detector(ref.spec, host, quant="w8a8",
                                    compute_dtype=jnp.bfloat16,
                                    precision="default",
-                                   quant_calib=calib),
+                                   quant_calib=calib, quant_recipe="none"),
         # The SERVING.md-recommended config (--int8 --bf16 --int8-calib
         # --int8-recipe auto): same as int8sb(served) plus the measured
         # best zero-cost calibration recipe (p99.9 percentile + per-channel

@@ -154,7 +154,23 @@ class Detector:
                 "quant='w8' is weight-only int8 — activations stay in the "
                 "compute dtype, so there is nothing to calibrate; drop the "
                 "quant_calib/scales/knob arguments (they are w8a8 concepts)")
-        if quant_recipe is not None:
+        if quant_recipe not in (None, "auto", "none"):
+            raise ValueError(
+                f"unknown quant_recipe {quant_recipe!r} ('auto' or 'none')")
+        _explicit_knobs = (quant_smooth is not None or quant_bias_correct
+                           or quant_split_concat or quant_skip_noisy
+                           or quant_calib_percentile is not None)
+        if quant_recipe is None and quant_calib is not None \
+                and not _explicit_knobs:
+            # Calibration DEFAULT (round 4): plain quant_calib gets the
+            # recipe unless the caller picked knobs themselves or opted
+            # out with quant_recipe="none".  Flipped after the recommended
+            # config's TPU drift bound landed: yolov3 0.9425 vs 0.9058
+            # plain-served, csp see perf/harvest_r4.jsonl — the CPU
+            # ladder's lift reproduces on hardware, and the recipe is
+            # speed-pinned free (perf/large_r3.jsonl steps 19-22).
+            quant_recipe = "auto"
+        if quant_recipe == "auto":
             # "auto" = the measured best zero-cost calibration recipe
             # (PERF.md round-3 sessions 5-7, CPU drift ladder on synthetic
             # weights — re-tuned in ONE place when real weights land):
@@ -165,21 +181,17 @@ class Detector:
             # families (yolov3 0.894→0.9622, tiny 0.886→0.943): clipping
             # introduces a systematic shift that bc removes, and the
             # smoothed grids handle the channel spread clipping can't.
-            if quant_recipe != "auto":
-                raise ValueError(
-                    f"unknown quant_recipe {quant_recipe!r} (only 'auto')")
             if quant_calib is None:
                 raise ValueError(
                     "quant_recipe='auto' requires quant_calib images (the "
                     "recipe is a calibration policy)")
-            if (quant_smooth is not None or quant_bias_correct
-                    or quant_split_concat or quant_skip_noisy
-                    or quant_calib_percentile is not None):
+            if _explicit_knobs:
                 raise ValueError(
                     "quant_recipe='auto' chooses the int8 knobs itself — "
                     "drop the explicit quant_smooth/quant_bias_correct/"
                     "quant_split_concat/quant_skip_noisy/"
-                    "quant_calib_percentile arguments")
+                    "quant_calib_percentile arguments (or pass "
+                    "quant_recipe='none' to drive the knobs yourself)")
             quant_calib_percentile = 99.9
             quant_smooth = 0.5
             quant_bias_correct = True
@@ -217,7 +229,9 @@ class Detector:
                 "quant_bias_delta (persisted deltas), not both")
         self._quant_skip: frozenset[int] = frozenset()
         self._bias_deltas: "dict[int, np.ndarray]" = {}
-        self._quant_recipe = quant_recipe
+        # Normalized for quant_state() stamping: "none" (explicit opt-out)
+        # persists like the pre-recipe default — no "recipe" field.
+        self._quant_recipe = None if quant_recipe == "none" else quant_recipe
         if quant is not None:
             # int8 MXU serving mode (ops/quant.py): folded fp32 kernels are
             # quantized here, once, at construction (no-op per layer if
@@ -242,8 +256,9 @@ class Detector:
             # (an activation-requant-cost mitigation) is irrelevant —
             # quantize every non-head conv's weights.  The threshold itself
             # is the measured per-topology policy (stride 8 for most
-            # early-skip-profitable families, 32 for the stride-128-deep
-            # p7 ladder — ops/quant.default_early_min_stride).
+            # early-skip-profitable families, 16 for the stride-64-deep
+            # p6 ladder, 32 for the stride-128-deep p7 ladder —
+            # ops/quant.default_early_min_stride).
             early_default = default_early_min_stride(spec) if (
                 quant == "w8a8"
                 and jnp.dtype(compute_dtype) in (jnp.bfloat16, jnp.float16)

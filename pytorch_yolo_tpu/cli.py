@@ -112,13 +112,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "class accuracy (weight rounding only) at 4x less "
                         "weight memory than fp32; no calibration needed "
                         "or accepted")
-    p.add_argument("--int8-recipe", choices=("auto",), default=None,
-                   help="with --int8-calib: apply the measured best "
-                        "zero-cost calibration recipe (p99.9 percentile "
-                        "ranging + per-channel smoothing + bias "
-                        "correction — the trio measured best on every "
-                        "family, PERF.md round-3 ladder).  Mutually "
-                        "exclusive with the explicit knobs")
+    p.add_argument("--int8-recipe", choices=("auto", "none"), default=None,
+                   help="calibration recipe policy.  'auto' (the DEFAULT "
+                        "whenever --int8-calib is given without explicit "
+                        "knobs) applies the measured best zero-cost recipe "
+                        "(p99.9 percentile ranging + per-channel smoothing "
+                        "+ bias correction — best on every family, PERF.md "
+                        "round-3 ladder; TPU drift bound "
+                        "perf/harvest_r4.jsonl).  'none' opts out (plain "
+                        "min/max-margin calibration).  Mutually exclusive "
+                        "with the explicit knobs")
     p.add_argument("--int8-scales", default=None, metavar="JSON",
                    help="persisted static activation scales: if JSON exists "
                         "it is loaded (no calibration forward needed); "
@@ -228,9 +231,10 @@ def _build_detector(args) -> Detector:
         raise SystemExit("--int8-bias-correct requires --int8-calib DIR "
                          "(the correction averages quantization error on "
                          "the calibration images)")
-    if getattr(args, "int8_recipe", None) and not calib_dir:
-        raise SystemExit("--int8-recipe requires --int8-calib DIR "
-                         "(the recipe is a calibration policy)")
+    if getattr(args, "int8_recipe", None) == "auto" and not calib_dir:
+        raise SystemExit("--int8-recipe auto requires --int8-calib DIR "
+                         "(the recipe is a calibration policy; 'none' is "
+                         "only meaningful with calibration too)")
     if getattr(args, "int8", False):
         weights_only = getattr(args, "int8_weights_only", False)
         if weights_only and (calib_dir or scales_path):
@@ -244,14 +248,17 @@ def _build_detector(args) -> Detector:
             with open(scales_path, "r", encoding="utf-8") as f:
                 state = json.load(f)
             recipe = getattr(args, "int8_recipe", None)
-            if recipe and isinstance(state, dict) \
+            # "none" never needs a calibration run — any persisted scales
+            # load as-is; "auto" only reloads a file stamped by the same
+            # recipe (a calibrated file IS the recipe's output).
+            if recipe == "auto" and isinstance(state, dict) \
                     and state.get("recipe") == recipe:
                 pass  # restart-safe: the file IS this recipe's output
             elif getattr(args, "int8_skip_noisy", 0) or \
                     getattr(args, "int8_split_concat", False) or \
                     getattr(args, "int8_smooth", None) is not None or \
                     getattr(args, "int8_bias_correct", False) or \
-                    recipe:
+                    recipe == "auto":
                 raise SystemExit(
                     "--int8-skip-noisy/--int8-split-concat/--int8-smooth/"
                     f"--int8-bias-correct/--int8-recipe need a calibration "

@@ -129,14 +129,24 @@ def default_early_min_stride(spec: ModelSpec) -> int:
     ladder recovered 139.1 -> es16 148.7 -> es32 152.3 vs bf16 154.6
     (perf/p7_es_ab_r3.jsonl).  Only the stride-128-deep five-scale
     ladder has that much large-spatial depth, so only it gets the
-    stride-32 threshold.  Round-4 A/B rows (p6/v4 es ladders) bank the
-    evidence for the neighboring classes; revisit when real weights land.
+    stride-32 threshold.
+
+    Round 4 widened the rule one class: the p6@640 es ladder measured
+    es16 above es8 in BOTH harvest sessions against same-session bf16
+    controls (es8 183.4/185.7, es16 187.4/188.3, es32 between —
+    perf/harvest_r4.jsonl steps 9-12), so the stride-64-deep four-scale
+    ladder gets 16.  p5 (deepest stride 32) keeps 8 — its es8 win is
+    banked (+3.8%, perf/large_r3.jsonl) and its r4 control held.
+    Revisit all three classes when real weights land.
     """
     if not early_skip_profitable(spec):
         return 0
     from ..config import head_strides
 
-    return 32 if max(head_strides(spec)) >= 128 else 8
+    deepest = max(head_strides(spec))
+    if deepest >= 128:
+        return 32
+    return 16 if deepest >= 64 else 8
 
 
 def early_conv_indices(spec: ModelSpec, min_stride: int = 8) -> frozenset[int]:

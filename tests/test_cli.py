@@ -526,6 +526,36 @@ def test_int8_recipe_restart_safe(assets, tmp_path):
               "--int8-recipe", "auto", "--int8-scales", explicit])
 
 
+def test_int8_recipe_is_calibration_default(assets, tmp_path):
+    """Round-4 default: bare --int8-calib applies the recipe (scales file
+    stamped 'auto', bias deltas present); --int8-recipe none opts out
+    (plain calibration, unstamped file) and the unstamped file reloads on
+    restart without a re-calibration error."""
+    import json as _json
+
+    scales = str(tmp_path / "default.json")
+    rc = main(["detect", "--images", assets["imgs"],
+               "--det", str(tmp_path / "det_default"),
+               "--cfg", assets["cfg"], "--weights", assets["weights"],
+               "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+               "--int8-scales", scales, "--save-json"])
+    assert rc == 0
+    saved = _json.load(open(scales))
+    assert saved["recipe"] == "auto"
+    assert saved["bias_delta"]
+
+    plain = str(tmp_path / "plain.json")
+    for tag in ("calib", "restart"):
+        rc = main(["detect", "--images", assets["imgs"],
+                   "--det", str(tmp_path / f"det_none_{tag}"),
+                   "--cfg", assets["cfg"], "--weights", assets["weights"],
+                   "--reso", "320", "--int8", "--int8-calib", assets["imgs"],
+                   "--int8-recipe", "none", "--int8-scales", plain])
+        assert rc == 0
+    saved = _json.load(open(plain))
+    assert "recipe" not in saved and "bias_delta" not in saved
+
+
 def test_int8_weights_only_cli(assets, tmp_path):
     """--int8 --int8-weights-only: weight-only quantization from the CLI —
     runs without calibration, refuses the w8a8-only flags."""

@@ -399,13 +399,15 @@ def test_early_skip_profitable_splits_zoo_on_early_pools():
 def test_default_early_min_stride_policy():
     """The per-topology threshold must reproduce the measured zoo verdicts
     (perf/gaps_r3.jsonl: at served 640/es8 x-mish WINS +3.3% and p6 ties
-    while p7 loses 9.5%; perf/p7_es_ab_r3.jsonl: p7 es32 recovers 139->152):
-    stride-8 skip for every early-skip-profitable family EXCEPT the
-    stride-128-deep five-scale ladder, which gets 32; ladder families 0."""
+    while p7 loses 9.5%; perf/p7_es_ab_r3.jsonl: p7 es32 recovers 139->152;
+    perf/harvest_r4.jsonl steps 9-12: p6 es16 beats es8 in both sessions):
+    stride-8 skip for every early-skip-profitable family EXCEPT the deep
+    ladders — stride-64 class gets 16, stride-128 class 32; ladder
+    families 0."""
     from pytorch_yolo_tpu.ops.quant import default_early_min_stride
 
     expect = {"yolov3": 8, "yolov3-spp": 8, "yolov4": 8, "yolov4-csp": 8,
-              "yolov4x-mish": 8, "yolov4-p5": 8, "yolov4-p6": 8,
+              "yolov4x-mish": 8, "yolov4-p5": 8, "yolov4-p6": 16,
               "yolov4-p7": 32,
               "yolov3-tiny": 0, "yolov2": 0, "yolov2-tiny": 0,
               "yolov4-tiny": 0}
@@ -568,7 +570,11 @@ def test_persisted_act_scales_round_trip(tiny):
     rng = np.random.default_rng(7)
     imgs = [rng.integers(0, 256, (200, 260, 3), dtype=np.uint8)
             for _ in range(2)]
-    calibrated = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    # quant_recipe="none": this test covers the LEGACY flat-scales path —
+    # a bare {idx: scale} dict can only revive a plain calibration (the
+    # recipe's smooth grids / bias deltas travel via quant_state()).
+    calibrated = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                              quant_recipe="none")
     scales = calibrated.act_scales()
     assert scales and all(v > 0 for v in scales.values())
 
@@ -1056,7 +1062,7 @@ def test_quant_recipe_auto(tiny):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
                      quant_recipe="auto", quant_calib_percentile=99.0)
 
-    with pytest.raises(ValueError, match="only 'auto'"):
+    with pytest.raises(ValueError, match="'auto' or 'none'"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
                      quant_recipe="best")
     with pytest.raises(ValueError, match="requires quant_calib"):
@@ -1064,6 +1070,39 @@ def test_quant_recipe_auto(tiny):
     with pytest.raises(ValueError, match="chooses the int8 knobs"):
         pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
                      quant_recipe="auto", quant_smooth=0.5)
+
+
+def test_quant_recipe_default_resolution(tiny):
+    """Round-4 calibration default: bare quant_calib resolves to the recipe
+    (TPU drift bound perf/harvest_r4.jsonl — yolov3 served agreement
+    0.9425 recipe vs 0.9058 plain); explicit knobs or quant_recipe='none'
+    opt out, and 'none' persists unstamped (legacy-compatible state)."""
+    spec, params = tiny
+    rng = np.random.default_rng(14)
+    imgs = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+            for _ in range(2)]
+    # bare calibration -> auto: smoothed grids + bias deltas + stamp
+    det = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs)
+    assert det._quant_recipe == "auto"
+    assert det._bias_deltas
+    assert det.quant_state().get("recipe") == "auto"
+    # explicit opt-out: plain min/max calibration, no stamp
+    plain = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                         quant_recipe="none")
+    assert plain._quant_recipe is None
+    assert not plain._bias_deltas
+    assert "recipe" not in plain.quant_state()
+    # an explicit knob implies the caller drives: no silent auto on top
+    knobbed = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           quant_calib_percentile=99.9)
+    assert knobbed._quant_recipe is None
+    assert not knobbed._bias_deltas
+    # the auto default and the explicit recipe produce the same detector
+    expl = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                        quant_recipe="auto")
+    k = next(i for i, p in expl.params.items() if "sa" in p)
+    np.testing.assert_array_equal(np.asarray(det.params[k]["sa"]),
+                                  np.asarray(expl.params[k]["sa"]))
 
 
 def test_weight_only_w8_forward_close_to_fp(tiny):

@@ -125,7 +125,7 @@ def main() -> None:
     # layers 0/1, not part of the quantization question).
     det_q = Detector(spec, host, compute_dtype=jnp.bfloat16,
                      precision="default", quant="w8a8",
-                     quant_calib=imgs[:2], stem_s2d=False)
+                     quant_calib=imgs[:2], quant_recipe="none", stem_s2d=False)
     qparams = det_q.params
     quantized = sorted(i for i, p in qparams.items() if "wq" in p)
     emit(args.out, step="quantized_set", n_quantized=len(quantized),
@@ -214,7 +214,7 @@ def main() -> None:
         extra = frozenset(r["conv"] for r in ranked[:k])
         kw = cfg_skip(extra)
         kw.update(compute_dtype=jnp.bfloat16, precision="default",
-                  quant="w8a8", quant_calib=imgs[:2])
+                  quant="w8a8", quant_calib=imgs[:2], quant_recipe="none")
         ladder.append((f"int8sb+skip-top{k}", kw))
     ladder.append(("int8sb+p99.9", {
         "compute_dtype": jnp.bfloat16, "precision": "default",

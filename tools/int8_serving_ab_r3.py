@@ -115,6 +115,7 @@ def drift_int8sb():
     imgs = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
             for _ in range(2)]
     det = Detector(ref.spec, host, quant="w8a8", quant_calib=imgs,
+                   quant_recipe="none",
                    compute_dtype=jnp.bfloat16, precision="default")
     s = measure_mode_drift(ref, det, imgs, size=416)
     emit(step="drift", mode="int8sb(early+s2d+bf16glue)", detail=s.row())

@@ -75,7 +75,7 @@ def int8s_det(model="yolov3", skip="heads"):
     calib = [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
              for _ in range(4)]
     return Detector.load(model, quant="w8a8", quant_skip_layers=skip,
-                         quant_calib=calib)
+                         quant_calib=calib, quant_recipe="none")
 
 def int8s_pipeline_profile():
     from pytorch_yolo_tpu.utils.profiling import profile_pipeline

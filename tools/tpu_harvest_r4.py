@@ -83,8 +83,11 @@ guard(12, "p6_int8sb_640_b8_es32",
       lambda: (es(32), compute("yolov4-p6", 640, 8, "int8sb", iters=5))[1])
 
 # unchanged-default controls: the es8 winners must not regress under the
-# new policy function (p5@416 banked 502.6 vs bf16 484.0; x-mish@640
-# banked 566.4 vs bf16 548.1).
+# new policy function (p5@416 banked 502.6 vs bf16 484.0).  NOTE the
+# banked x-mish rows are @416 (566.4 int8sb, 548.1 bf16 — gaps_r3/csp_r3
+# measured at 416, not 640): step 14's 640 row has no direct banked
+# control; scale by (416/640)² ≈ 0.42 to compare (r4 measured 242.4,
+# 566.4 × 0.42 ≈ 239 — consistent, no regression).
 guard(13, "p5_int8sb_416_b32_control",
       lambda: (es(None), compute("yolov4-p5", 416, 32, "int8sb", iters=5))[1])
 guard(14, "xmish_int8sb_640_b32_control",
