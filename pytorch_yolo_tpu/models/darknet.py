@@ -254,7 +254,7 @@ def build_forward(
     quant: str | None = None,
     stop_at: int | None = None,
     stem_s2d: bool = False,
-    collect_conv_in_stats: "Callable[[jnp.ndarray], jnp.ndarray] | None" = None,
+    collect_conv_in_stats: "Callable[[int, jnp.ndarray], Any] | None" = None,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -281,10 +281,16 @@ def build_forward(
     runtime's profiler cannot provide (PERF.md roadmap #4).
 
     ``collect_conv_in_stats=f`` makes the forward also return a per-conv
-    stats dict ``{layer_idx: f(conv_input)}`` — the int8 calibration hook
-    (ops/quant.collect_act_scales supplies absmax or percentile
-    statistics).  Mutually exclusive with ``stop_at`` (a truncated run
-    would silently drop the collected stats)."""
+    stats dict ``{layer_idx: f(layer_idx, conv_input)}`` — the int8
+    calibration hook (ops/quant.collect_act_scales supplies absmax or
+    percentile statistics; bias_correct_params/rank_quant_noise compute
+    their per-conv reductions in-program through it).  A hook may return
+    ``None`` for convs it doesn't care about — nothing is collected for
+    them, so the program output stays small (returning full conv inputs
+    for a deep model at native size exceeds HBM — the p7@1536 compile
+    OOM, perf/harvest_p7diag_r4.jsonl).  Mutually exclusive with
+    ``stop_at`` (a truncated run would silently drop the collected
+    stats)."""
     if quant not in (None, "w8a8", "w8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
     if collect_conv_in_stats is not None and stop_at is not None:
@@ -388,7 +394,9 @@ def build_forward(
             if isinstance(layer, ConvSpec):
                 p = params[layer.index]
                 if collect_conv_in_stats is not None:  # int8 calibration pass
-                    stats[layer.index] = collect_conv_in_stats(x)
+                    _s = collect_conv_in_stats(layer.index, x)
+                    if _s is not None:
+                        stats[layer.index] = _s
                 if quant == "w8" and "wq" in p:
                     # Weight-only int8 (W8): kernels stream from HBM as
                     # int8 and dequantize per call (wq·ws — XLA fuses the

@@ -348,7 +348,8 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
         statc = lambda t: jnp.percentile(jnp.abs(t), percentile,
                                          axis=tuple(range(0, t.ndim - 1)))
     per_channel = bool(concat_groups) or smooth_alpha is not None
-    stat = (lambda t: (stat1(t), statc(t))) if per_channel else stat1
+    stat = ((lambda i, t: (stat1(t), statc(t))) if per_channel
+            else (lambda i, t: stat1(t)))
     # jit: one compiled program (persistent-cache-friendly) instead of ~75
     # eager per-op dispatches at Detector construction.
     fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
@@ -540,38 +541,47 @@ def rank_quant_noise(spec: ModelSpec, fp_params: dict, qparams: dict,
     via ``Detector(quant_skip_noisy=K)`` / CLI ``--int8-skip-noisy K``.
 
     ``x`` is one (or a few) letterboxed (N, H, W, 3) f32 canvases — noise
-    ranking is stable on a single image; keeping N small bounds the memory
-    of materializing every conv input."""
+    ranking is stable on a single image.  The fp-vs-quantized twin convs
+    run IN-PROGRAM through the calibration hook and reduce straight to two
+    scalars per conv (sum-of-squares of the error and of the fp output), so
+    the program's outputs stay tiny and XLA frees each twin's activations
+    immediately — materializing every conv input as a program output
+    exceeded HBM for deep models at native size (the p7@1536 compile OOM,
+    perf/harvest_p7diag_r4.jsonl)."""
     import jax
-    import numpy as np
 
     from ..models.darknet import _conv, build_forward
 
-    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
-    _, stats = fwd(fp_params, jnp.asarray(x, jnp.float32))
-
     groups = concat_split_groups(spec)
+    conv_layers = {l.index: l for l in spec.layers
+                   if isinstance(l, ConvSpec)
+                   and "wq" in qparams.get(l.index, ())}
+
+    def _run(fp_p, q_p, xx):
+        def hook(idx, t):
+            layer = conv_layers.get(idx)
+            if layer is None:
+                return None
+            fp, q = fp_p[idx], q_p[idx]
+            y_fp = _conv(t, jnp.asarray(fp["w"], jnp.float32),
+                         jnp.asarray(fp["b"], jnp.float32), layer,
+                         jnp.float32, lax.Precision.HIGHEST)
+            y_q = quantized_conv(t, q["wq"], q["ws"], q["b"], layer,
+                                 sx=q.get("sa"), sxg=q.get("sag"),
+                                 splits=(groups.get(idx)
+                                         if "sag" in q else None))
+            d = (y_q - y_fp).astype(jnp.float32)
+            return jnp.sum(d * d), jnp.sum(y_fp * y_fp)
+
+        fwd = build_forward(spec, collect_conv_in_stats=hook)
+        _, stats = fwd(fp_p, xx)
+        return stats
+
+    stats = jax.jit(_run)(fp_params, qparams, jnp.asarray(x, jnp.float32))
     ranked: list[tuple[int, float]] = []
-    for layer in spec.layers:
-        if not isinstance(layer, ConvSpec):
-            continue
-        q = qparams.get(layer.index)
-        if q is None or "wq" not in q:
-            continue
-        xin = stats[layer.index]
-        fp = fp_params[layer.index]
-        y_fp = np.asarray(
-            _conv(xin, jnp.asarray(fp["w"], jnp.float32),
-                  jnp.asarray(fp["b"], jnp.float32), layer, jnp.float32,
-                  lax.Precision.HIGHEST), np.float32)
-        y_q = np.asarray(
-            quantized_conv(xin, q["wq"], q["ws"], q["b"], layer,
-                           sx=q.get("sa"), sxg=q.get("sag"),
-                           splits=(groups.get(layer.index)
-                                   if "sag" in q else None)), np.float32)
-        denom = float(np.linalg.norm(y_fp.ravel())) or 1.0
-        err = float(np.linalg.norm((y_q - y_fp).ravel())) / denom
-        ranked.append((layer.index, err))
+    for idx, (err_sq, ref_sq) in stats.items():
+        denom = float(np.sqrt(float(ref_sq))) or 1.0
+        ranked.append((idx, float(np.sqrt(float(err_sq))) / denom))
     ranked.sort(key=lambda t: (-t[1], t[0]))
     return ranked
 
@@ -598,6 +608,15 @@ def bias_correct_params(spec: ModelSpec, fp_params: dict, qparams: dict,
     persist in the quant-state file (``bias_delta``) so a scales-file
     revive reproduces the corrected detector bit-identically without the
     calibration images.
+
+    The fp/quantized twin convs run IN-PROGRAM through the calibration
+    hook, reducing each pair straight to its (C_out,) mean-error vector:
+    the program's outputs are a handful of KB and the twins' activations
+    are freed as soon as each delta is reduced.  (The previous
+    implementation returned every conv's full input tensor as a program
+    output and ran the twins eagerly — for yolov4-p7 calibrating at its
+    native 1536² that output set is tens of GB and the remote compile
+    died; isolated in perf/harvest_p7diag_r4.jsonl.)
     """
     import dataclasses
 
@@ -605,31 +624,40 @@ def bias_correct_params(spec: ModelSpec, fp_params: dict, qparams: dict,
 
     from ..models.darknet import _conv, build_forward
 
-    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
-    _, stats = fwd(fp_params, jnp.asarray(x, jnp.float32))
-
     groups = concat_split_groups(spec)
+    # Pre-activation is what the bias shifts: both twins run `linear`.
+    lin_layers = {l.index: dataclasses.replace(l, activation="linear")
+                  for l in spec.layers
+                  if isinstance(l, ConvSpec)
+                  and "wq" in qparams.get(l.index, ())}
+
+    def _run(fp_p, q_p, xx):
+        def hook(idx, t):
+            lin = lin_layers.get(idx)
+            if lin is None:
+                return None
+            fp, q = fp_p[idx], q_p[idx]
+            y_fp = _conv(t, jnp.asarray(fp["w"], jnp.float32),
+                         jnp.asarray(fp["b"], jnp.float32), lin,
+                         jnp.float32, lax.Precision.HIGHEST)
+            y_q = quantized_conv(t, q["wq"], q["ws"], q["b"], lin,
+                                 sx=q.get("sa"), sxg=q.get("sag"),
+                                 splits=(groups.get(idx)
+                                         if "sag" in q else None))
+            return jnp.mean(y_fp - y_q, axis=(0, 1, 2))
+
+        fwd = build_forward(spec, collect_conv_in_stats=hook)
+        _, stats = fwd(fp_p, xx)
+        return stats
+
+    stats = jax.jit(_run)(fp_params, qparams, jnp.asarray(x, jnp.float32))
     out = dict(qparams)
     deltas: dict[int, np.ndarray] = {}
-    for layer in spec.layers:
-        if not isinstance(layer, ConvSpec):
-            continue
-        q = qparams.get(layer.index)
-        if q is None or "wq" not in q:
-            continue
-        lin = dataclasses.replace(layer, activation="linear")
-        xin = stats[layer.index]
-        fp = fp_params[layer.index]
-        y_fp = _conv(xin, jnp.asarray(fp["w"], jnp.float32),
-                     jnp.asarray(fp["b"], jnp.float32), lin, jnp.float32,
-                     lax.Precision.HIGHEST)
-        y_q = quantized_conv(xin, q["wq"], q["ws"], q["b"], lin,
-                             sx=q.get("sa"), sxg=q.get("sag"),
-                             splits=(groups.get(layer.index)
-                                     if "sag" in q else None))
-        d = np.asarray(jnp.mean(y_fp - y_q, axis=(0, 1, 2)), np.float32)
-        deltas[layer.index] = d
-        out[layer.index] = {**q, "b": q["b"] + jnp.asarray(d)}
+    for idx, dv in stats.items():
+        d = np.asarray(dv, np.float32)
+        deltas[idx] = d
+        q = qparams[idx]
+        out[idx] = {**q, "b": q["b"] + jnp.asarray(d)}
     return out, deltas
 
 

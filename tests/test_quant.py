@@ -238,7 +238,7 @@ def test_collect_stats_and_stop_at_mutually_exclusive(tiny):
     spec, _ = tiny
     with pytest.raises(ValueError, match="mutually exclusive"):
         build_forward(spec, stop_at=3,
-                      collect_conv_in_stats=lambda t: jnp.max(jnp.abs(t)))
+                      collect_conv_in_stats=lambda i, t: jnp.max(jnp.abs(t)))
 
 
 # ---------------------------------------------------------------------------
@@ -915,7 +915,7 @@ def test_bias_correction_reduces_mean_error(tiny):
     from pytorch_yolo_tpu.models.darknet import _conv
     from pytorch_yolo_tpu.ops.quant import quantized_conv
 
-    fwd = _jax.jit(build_forward(spec, collect_conv_in_stats=lambda t: t))
+    fwd = _jax.jit(build_forward(spec, collect_conv_in_stats=lambda i, t: t))
     _, stats = fwd(params, jnp.asarray(x))
     layer = next(l for l in spec.layers
                  if isinstance(l, ConvSpec) and l.index in deltas)

@@ -142,7 +142,7 @@ def main() -> None:
     x = jnp.asarray(x[None])
 
     if need_ranking:
-        ident = lambda t: t  # noqa: E731
+        ident = lambda i, t: t  # noqa: E731
         fwd_fp = jax.jit(build_forward(spec, collect_conv_in_stats=ident))
         _, stats_fp = fwd_fp(host, x)
         stats_fp = {i: np.asarray(v, np.float32) for i, v in stats_fp.items()}
