@@ -279,6 +279,93 @@ def quantize_params(spec: ModelSpec, params: dict,
     return out
 
 
+_PCT_BINS = 4096      # log-histogram resolution: 2^(OCTAVES/BINS) ≈ 0.34%
+_PCT_OCTAVES = 20.0   # dynamic range covered below each conv's max |x|
+
+
+def _collect_percentile_stats(spec: ModelSpec, params: dict, x,
+                              percentile: float, per_channel: bool):
+    """Percentile activation statistics via in-program log2 histograms.
+
+    ``jnp.percentile`` lowers to a full sort of the flattened conv input.
+    At yolov4-p7's native 1536² that is a ~1.5·10⁸-element sort for each
+    of ~300 convs in ONE calibration program, and the remote TPU compiler
+    crashed on it reproducibly (tpu_compile_helper exit 1 — round 4:
+    ``perf/harvest_p7diag_r4.jsonl`` legs 2/4 vs 1/3 and
+    ``perf/harvest_p7fix_r4.jsonl`` step 1 isolate percentile as the
+    killer; the percentile-free legs of the same program compile and
+    run).  This path replaces every sort with a two-pass O(n) estimator:
+
+      * pass 1 — per-conv global max |x| (plus per-channel maxima when
+        smoothing / split-concat statistics are requested);
+      * pass 2 — a ``_PCT_BINS``-bin histogram of |x| on a log2 grid
+        spanning ``[max·2^-OCTAVES, max]``, with the percentile read off
+        the in-program CDF (argmax over a monotone int32 cumsum); only
+        the resolved percentile values leave the program, so outputs
+        stay KB-sized at any resolution.
+
+    The estimate returns the upper edge of the bin holding the q-th
+    order statistic: conservative (never below the exact percentile) and
+    within a multiplicative 2^(OCTAVES/BINS) ≈ 1.0034 of it.  Log
+    spacing keeps that 0.34% resolution at EVERY magnitude — an order
+    finer than the int8 step (1/127 ≈ 0.8%) and, unlike linear bins,
+    robust to range-stretching outliers (the property the percentile
+    knob exists for).  Values ≤ max·2^-20 (incl. exact zeros) land in
+    bin 0, which only matters if >q% of a conv's inputs are that small —
+    where the exact percentile would be ~0 too.
+    """
+    import jax
+
+    from ..models.darknet import build_forward
+
+    m1 = lambda t: jnp.max(jnp.abs(t))
+    mcs = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(0, t.ndim - 1)))
+    mstat = ((lambda i, t: (m1(t), mcs(t))) if per_channel
+             else (lambda i, t: m1(t)))
+    _, maxima = jax.jit(build_forward(spec, collect_conv_in_stats=mstat))(
+        params, x)
+    mw = {i: max(float(np.asarray(v[0] if per_channel else v)), _QEPS)
+          for i, v in maxima.items()}
+    mcv = ({i: np.maximum(np.asarray(v[1], np.float32), _QEPS)
+            for i, v in maxima.items()} if per_channel else None)
+
+    frac = percentile / 100.0
+
+    def _pct_from_hist(hist, m):
+        # hist: (..., BINS) int32 counts; m: max (broadcastable).  k-th
+        # order statistic's bin = first CDF entry reaching ceil(n·q).
+        cs = jnp.cumsum(hist, axis=-1)
+        k = jnp.maximum(jnp.ceil(cs[..., -1:].astype(jnp.float32) * frac)
+                        .astype(jnp.int32), 1)
+        b = jnp.argmax(cs >= k, axis=-1).astype(jnp.float32)
+        return 2.0 ** ((b + 1.0) / _PCT_BINS * _PCT_OCTAVES
+                       - _PCT_OCTAVES) * m
+
+    def pstat(i, t):
+        a = jnp.abs(t).astype(jnp.float32)
+
+        def bins_of(scaled):
+            r = jnp.log2(jnp.maximum(scaled, 2.0 ** -_PCT_OCTAVES))
+            return jnp.clip(((r / _PCT_OCTAVES + 1.0) * _PCT_BINS)
+                            .astype(jnp.int32), 0, _PCT_BINS - 1)
+
+        q = bins_of(a / mw[i])
+        hist = jnp.zeros((_PCT_BINS,), jnp.int32).at[q.reshape(-1)].add(1)
+        val = _pct_from_hist(hist, mw[i])
+        if not per_channel:
+            return val
+        c = int(t.shape[-1])
+        qc = bins_of(a / jnp.asarray(mcv[i]))
+        flat = (qc + np.arange(c, dtype=np.int32) * _PCT_BINS).reshape(-1)
+        histc = (jnp.zeros((c * _PCT_BINS,), jnp.int32).at[flat].add(1)
+                 .reshape(c, _PCT_BINS))
+        return val, _pct_from_hist(histc, jnp.asarray(mcv[i]))
+
+    _, stats = jax.jit(build_forward(spec, collect_conv_in_stats=pstat))(
+        params, x)
+    return stats
+
+
 def collect_act_scales(spec: ModelSpec, params: dict, x,
                        margin: float = 1.0,
                        percentile: "float | None" = None,
@@ -299,6 +386,10 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     values — a single outlier activation no longer stretches the scale, so
     the 127 int8 steps cover the bulk of the distribution (the clipped tail
     saturates to ±127, which symmetric int8 handles gracefully).
+    Percentiles are computed by the compile-light log-histogram estimator
+    (:func:`_collect_percentile_stats` — conservative to within ≈0.34%;
+    exact ``jnp.percentile`` sorts crashed the TPU compiler on p7-class
+    programs).
 
     ``margin`` multiplies the observed range (>1 leaves headroom for
     activations outside the calibration set).
@@ -337,23 +428,23 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     if smooth_alpha is not None and not 0.0 <= smooth_alpha <= 1.0:
         raise ValueError(f"smooth_alpha must be in [0, 1], got {smooth_alpha}")
 
+    per_channel = bool(concat_groups) or smooth_alpha is not None
+    x = jnp.asarray(x, jnp.float32)
     if percentile is None:
         stat1 = lambda t: jnp.max(jnp.abs(t), axis=tuple(range(1, t.ndim)))
         statc = lambda t: jnp.max(jnp.abs(t),
                                   axis=tuple(range(0, t.ndim - 1)))
+        stat = ((lambda i, t: (stat1(t), statc(t))) if per_channel
+                else (lambda i, t: stat1(t)))
+        # jit: one compiled program (persistent-cache-friendly) instead of
+        # ~75 eager per-op dispatches at Detector construction.
+        fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
+        _, stats = fwd(params, x)
     else:
         if not 0.0 < percentile <= 100.0:
             raise ValueError(f"percentile must be in (0, 100], got {percentile}")
-        stat1 = lambda t: jnp.percentile(jnp.abs(t), percentile)
-        statc = lambda t: jnp.percentile(jnp.abs(t), percentile,
-                                         axis=tuple(range(0, t.ndim - 1)))
-    per_channel = bool(concat_groups) or smooth_alpha is not None
-    stat = ((lambda i, t: (stat1(t), statc(t))) if per_channel
-            else (lambda i, t: stat1(t)))
-    # jit: one compiled program (persistent-cache-friendly) instead of ~75
-    # eager per-op dispatches at Detector construction.
-    fwd = jax.jit(build_forward(spec, collect_conv_in_stats=stat))
-    _, stats = fwd(params, jnp.asarray(x, jnp.float32))
+        stats = _collect_percentile_stats(spec, params, x, percentile,
+                                          per_channel)
     scales: dict = {}
     for idx, v in stats.items():
         whole = v[0] if per_channel else v

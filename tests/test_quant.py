@@ -217,6 +217,46 @@ def test_collect_act_scales_margin_and_percentile(tiny):
         collect_act_scales(spec, params, x, percentile=0.0)
 
 
+def test_percentile_histogram_tracks_exact(tiny):
+    """The log-histogram percentile estimator (the p7 compile-crash fix —
+    perf/harvest_p7fix_r4.jsonl step 1 isolated jnp.percentile's giant
+    sorts as the killer) stays conservative and within its documented
+    2^(20/4096) ≈ 0.34% multiplicative bound of the exact order statistic,
+    whole-tensor AND per-channel, with and without an outlier."""
+    from pytorch_yolo_tpu.models.darknet import build_forward
+    from pytorch_yolo_tpu.ops.quant import _collect_percentile_stats
+
+    spec, params = tiny
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 96, 96, 3)).astype(np.float32)
+    x_out = x.copy()
+    x_out[0, 0, 0, 0] = 50.0  # range-stretching outlier
+    q = 99.9
+    frac = q / 100.0
+    tol = 2.0 ** (20.0 / 4096.0)  # one log2 bin width, multiplicative
+    for xs in (x, x_out):
+        # raw conv inputs via the eager hook = the exact reference data
+        fwd = build_forward(
+            spec, collect_conv_in_stats=lambda i, t: jnp.abs(t))
+        _, raw = fwd(params, jnp.asarray(xs))
+        est = _collect_percentile_stats(spec, params, xs, q,
+                                        per_channel=True)
+        for idx, a in raw.items():
+            a = np.asarray(a)
+            got_w = float(np.asarray(est[idx][0]))
+            # guarantee 1: at least q% of values are covered (conservative)
+            assert np.mean(a <= got_w) >= frac - 1e-7, (idx, got_w)
+            # guarantee 2: one bin lower would NOT cover q% — the estimate
+            # exceeds the exact order statistic by less than one bin width
+            assert (np.mean(a < got_w / tol * (1 - 1e-6))
+                    <= frac + 1.0 / a.size), (idx, got_w)
+            ac = a.reshape(-1, a.shape[-1])
+            got_c = np.asarray(est[idx][1])
+            assert np.all(np.mean(ac <= got_c, axis=0) >= frac - 1e-7)
+            assert np.all(np.mean(ac < got_c / tol * (1 - 1e-6), axis=0)
+                          <= frac + 1.0 / ac.shape[0])
+
+
 def test_calibration_set_size_robustness(tiny):
     """Static scales from 2 vs 6 calibration images give closely-agreeing
     detections (drift sensitivity to calibration-set size, CPU backend)."""
