@@ -279,40 +279,47 @@ def quantize_params(spec: ModelSpec, params: dict,
     return out
 
 
-_PCT_BINS = 4096      # log-histogram resolution: 2^(OCTAVES/BINS) ≈ 0.34%
-_PCT_OCTAVES = 20.0   # dynamic range covered below each conv's max |x|
+_PCT_OCTAVES = 20.0  # dynamic range probed below each conv's max |x|
+_PCT_ITERS = 16      # bisection steps: resolution 2^(OCT/2^ITERS) ≈ 0.02%
 
 
 def _collect_percentile_stats(spec: ModelSpec, params: dict, x,
                               percentile: float, per_channel: bool):
-    """Percentile activation statistics via in-program log2 histograms.
+    """Percentile activation statistics via bisection over pure reductions.
 
-    ``jnp.percentile`` lowers to a full sort of the flattened conv input.
-    At yolov4-p7's native 1536² that is a ~1.5·10⁸-element sort for each
-    of ~300 convs in ONE calibration program, and the remote TPU compiler
-    crashed on it reproducibly (tpu_compile_helper exit 1 — round 4:
-    ``perf/harvest_p7diag_r4.jsonl`` legs 2/4 vs 1/3 and
-    ``perf/harvest_p7fix_r4.jsonl`` step 1 isolate percentile as the
-    killer; the percentile-free legs of the same program compile and
-    run).  This path replaces every sort with a two-pass O(n) estimator:
+    Implementation history matters here — two op classes crash the remote
+    TPU compiler (tpu_compile_helper exit 1) on p7-class calibration
+    programs (~300 convs at native 1536², one jitted program):
+
+    * ``jnp.percentile`` — a ~1.5·10⁸-element **sort** per conv
+      (``perf/harvest_p7diag_r4.jsonl`` legs 2/4 crash, percentile-free
+      legs 1/3 compile; ``perf/harvest_p7fix_r4.jsonl`` step 1 crashes
+      with bias-correct already fixed);
+    * log2-histogram **scatter-adds** of the same magnitude
+      (``perf/harvest_p7iso_r4.jsonl`` step 2: the whole-tensor histogram
+      alone, no bias-correct, crashes — while step 1's max-reduction
+      stats program compiles in 110 s).
+
+    What provably compiles at this scale is plain reductions, so the
+    estimator uses only those:
 
       * pass 1 — per-conv global max |x| (plus per-channel maxima when
         smoothing / split-concat statistics are requested);
-      * pass 2 — a ``_PCT_BINS``-bin histogram of |x| on a log2 grid
-        spanning ``[max·2^-OCTAVES, max]``, with the percentile read off
-        the in-program CDF (argmax over a monotone int32 cumsum); only
-        the resolved percentile values leave the program, so outputs
-        stay KB-sized at any resolution.
+      * pass 2 — per conv, ``_PCT_ITERS`` bisection steps on the log2
+        threshold exponent over ``[max·2^-OCTAVES, max]``; each step is
+        one ``sum(|x| > thr)`` reduction inside a ``lax.fori_loop``.
+        Only the resolved percentile values leave the program, so
+        outputs stay KB-sized at any resolution.
 
-    The estimate returns the upper edge of the bin holding the q-th
-    order statistic: conservative (never below the exact percentile) and
-    within a multiplicative 2^(OCTAVES/BINS) ≈ 1.0034 of it.  Log
-    spacing keeps that 0.34% resolution at EVERY magnitude — an order
-    finer than the int8 step (1/127 ≈ 0.8%) and, unlike linear bins,
+    The estimate is conservative (never below the exact order statistic)
+    and within a multiplicative 2^(OCTAVES/2^ITERS) ≈ 1.0002 of it at
+    EVERY magnitude — far finer than the int8 step (1/127 ≈ 0.8%) and
     robust to range-stretching outliers (the property the percentile
-    knob exists for).  Values ≤ max·2^-20 (incl. exact zeros) land in
-    bin 0, which only matters if >q% of a conv's inputs are that small —
-    where the exact percentile would be ~0 too.
+    knob exists for).  Values ≤ max·2^-20 (incl. exact zeros) saturate
+    at the bottom of the probed range, which only matters if >q% of a
+    conv's inputs are that small — where the exact percentile would be
+    ~0 too.  Runtime is ITERS extra passes over each conv input —
+    calibration is offline and the passes are bandwidth-bound seconds.
     """
     import jax
 
@@ -331,35 +338,36 @@ def _collect_percentile_stats(spec: ModelSpec, params: dict, x,
 
     frac = percentile / 100.0
 
-    def _pct_from_hist(hist, m):
-        # hist: (..., BINS) int32 counts; m: max (broadcastable).  k-th
-        # order statistic's bin = first CDF entry reaching ceil(n·q).
-        cs = jnp.cumsum(hist, axis=-1)
-        k = jnp.maximum(jnp.ceil(cs[..., -1:].astype(jnp.float32) * frac)
-                        .astype(jnp.int32), 1)
-        b = jnp.argmax(cs >= k, axis=-1).astype(jnp.float32)
-        return 2.0 ** ((b + 1.0) / _PCT_BINS * _PCT_OCTAVES
-                       - _PCT_OCTAVES) * m
+    def _bisect(a, m, axes, n):
+        # Smallest probed threshold m·2^e with count(a > thr) ≤ n − k,
+        # k = ceil(n·frac): the threshold covers ≥ k values, i.e. sits at
+        # or above the k-th order statistic, within 2^(OCT/2^ITERS) of it.
+        # m is scalar or (C,); counts reduce over `axes` to match.
+        allowed = n - int(np.ceil(n * frac))
+        shape = jnp.shape(m)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            c = jnp.sum(a > m * jnp.exp2(mid), axis=axes)
+            take_hi = c > allowed  # mid fails: answer is above mid
+            return (jnp.where(take_hi, mid, lo),
+                    jnp.where(take_hi, hi, mid))
+
+        lo0 = jnp.full(shape, -_PCT_OCTAVES, jnp.float32)
+        hi0 = jnp.zeros(shape, jnp.float32)
+        _, hi = lax.fori_loop(0, _PCT_ITERS, body, (lo0, hi0))
+        return m * jnp.exp2(hi)
 
     def pstat(i, t):
         a = jnp.abs(t).astype(jnp.float32)
-
-        def bins_of(scaled):
-            r = jnp.log2(jnp.maximum(scaled, 2.0 ** -_PCT_OCTAVES))
-            return jnp.clip(((r / _PCT_OCTAVES + 1.0) * _PCT_BINS)
-                            .astype(jnp.int32), 0, _PCT_BINS - 1)
-
-        q = bins_of(a / mw[i])
-        hist = jnp.zeros((_PCT_BINS,), jnp.int32).at[q.reshape(-1)].add(1)
-        val = _pct_from_hist(hist, mw[i])
+        val = _bisect(a, jnp.float32(mw[i]), None, a.size)
         if not per_channel:
             return val
         c = int(t.shape[-1])
-        qc = bins_of(a / jnp.asarray(mcv[i]))
-        flat = (qc + np.arange(c, dtype=np.int32) * _PCT_BINS).reshape(-1)
-        histc = (jnp.zeros((c * _PCT_BINS,), jnp.int32).at[flat].add(1)
-                 .reshape(c, _PCT_BINS))
-        return val, _pct_from_hist(histc, jnp.asarray(mcv[i]))
+        valc = _bisect(a, jnp.asarray(mcv[i]),
+                       tuple(range(a.ndim - 1)), a.size // c)
+        return val, valc
 
     _, stats = jax.jit(build_forward(spec, collect_conv_in_stats=pstat))(
         params, x)
@@ -386,10 +394,10 @@ def collect_act_scales(spec: ModelSpec, params: dict, x,
     values — a single outlier activation no longer stretches the scale, so
     the 127 int8 steps cover the bulk of the distribution (the clipped tail
     saturates to ±127, which symmetric int8 handles gracefully).
-    Percentiles are computed by the compile-light log-histogram estimator
-    (:func:`_collect_percentile_stats` — conservative to within ≈0.34%;
-    exact ``jnp.percentile`` sorts crashed the TPU compiler on p7-class
-    programs).
+    Percentiles are computed by the compile-light reduction-bisection
+    estimator (:func:`_collect_percentile_stats` — conservative to within
+    ≈0.02%; exact ``jnp.percentile`` sorts AND histogram scatter-adds both
+    crashed the TPU compiler on p7-class programs).
 
     ``margin`` multiplies the observed range (>1 leaves headroom for
     activations outside the calibration set).

@@ -217,14 +217,17 @@ def test_collect_act_scales_margin_and_percentile(tiny):
         collect_act_scales(spec, params, x, percentile=0.0)
 
 
-def test_percentile_histogram_tracks_exact(tiny):
-    """The log-histogram percentile estimator (the p7 compile-crash fix —
-    perf/harvest_p7fix_r4.jsonl step 1 isolated jnp.percentile's giant
-    sorts as the killer) stays conservative and within its documented
-    2^(20/4096) ≈ 0.34% multiplicative bound of the exact order statistic,
-    whole-tensor AND per-channel, with and without an outlier."""
+def test_percentile_bisection_tracks_exact(tiny):
+    """The reduction-bisection percentile estimator (the p7 compile-crash
+    fix — sorts crashed the remote compiler in perf/harvest_p7fix_r4.jsonl
+    and histogram scatter-adds crashed it in perf/harvest_p7iso_r4.jsonl;
+    only pure reductions compile at that scale) stays conservative and
+    within its documented 2^(OCT/2^ITERS) ≈ 0.02% multiplicative bound of
+    the exact order statistic, whole-tensor AND per-channel, with and
+    without an outlier."""
     from pytorch_yolo_tpu.models.darknet import build_forward
-    from pytorch_yolo_tpu.ops.quant import _collect_percentile_stats
+    from pytorch_yolo_tpu.ops.quant import (_PCT_ITERS, _PCT_OCTAVES,
+                                            _collect_percentile_stats)
 
     spec, params = tiny
     rng = np.random.default_rng(7)
@@ -233,7 +236,8 @@ def test_percentile_histogram_tracks_exact(tiny):
     x_out[0, 0, 0, 0] = 50.0  # range-stretching outlier
     q = 99.9
     frac = q / 100.0
-    tol = 2.0 ** (20.0 / 4096.0)  # one log2 bin width, multiplicative
+    # one bisection-resolution step, multiplicative
+    tol = 2.0 ** (_PCT_OCTAVES / 2.0 ** _PCT_ITERS)
     for xs in (x, x_out):
         # raw conv inputs via the eager hook = the exact reference data
         fwd = build_forward(
