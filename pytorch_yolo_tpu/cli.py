@@ -504,6 +504,13 @@ def cmd_evaluate(args) -> int:
                 batch=args.batch, transfer="u8")
 
     det_iter = _batched()
+    # Steady-state split (VERDICT r3 #3): the whole-run rate folds in
+    # one-time costs a val2017-scale run pays once (TPU grant acquisition,
+    # pipeline compile / cache load, first-chunk warmup), which dominate
+    # short runs and make the amortized rate look link-pathological.
+    # t_steady marks the first super-chunk's completion; the steady rate
+    # covers everything after it (decode+letterbox+H2D+compute+D2H).
+    t_steady, n_steady = None, 0
     for i, d in enumerate(det_iter):
         sample = kept_samples[i]
         score = d.obj * d.cls_score if args.score == "obj*cls" else d.obj
@@ -512,6 +519,10 @@ def cmd_evaluate(args) -> int:
             gt_boxes=sample.gt_boxes, gt_classes=sample.gt_classes,
             gt_crowd=sample.gt_crowd))
         stats.count()
+        if i + 1 == args.batch * 8:  # first super-chunk done
+            t_steady, n_steady = time.perf_counter(), i + 1
+    steady = ((len(evals) - n_steady) / (time.perf_counter() - t_steady)
+              if t_steady is not None and len(evals) > n_steady else None)
     if skipped:
         log.warning("skipped %d unreadable images", len(skipped))
     r50 = evaluate(evals, iou_thresh=0.5)
@@ -522,6 +533,7 @@ def cmd_evaluate(args) -> int:
         "AP@[.5:.95]": round(coco["AP"], 4),
         "AP75": round(coco["AP75"], 4),
         "images_per_sec": round(stats.throughput(), 2),
+        "images_per_sec_steady": round(steady, 2) if steady else None,
         # machine-readable provenance: a synthetic-weights run must never be
         # mistaken for a real parity number
         "weights": det.weights_source or "SYNTHETIC-RANDOM",

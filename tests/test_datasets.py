@@ -82,3 +82,7 @@ def test_evaluate_cli(mini_coco, tmp_path, capsys):
     assert metrics["images"] == 2
     assert 0.0 <= metrics["mAP@0.5"] <= 1.0
     assert "AP@[.5:.95]" in metrics
+    # steady-state rate is reported (None here: the run is shorter than one
+    # batch*8 super-chunk, so there is no post-warmup segment to measure)
+    assert "images_per_sec_steady" in metrics
+    assert metrics["images_per_sec_steady"] is None

@@ -166,19 +166,32 @@ def evaluate_amortized(env, model: str, reso: int, n: int) -> dict:
     included — it is a real part of any evaluate run — but compiles come
     from the persistent cache warmed by evaluate_cli).  Projects the
     val2017-scale (5000-image) wall time from the measured rate."""
+    t0 = time.perf_counter()
     proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
                  "--model", model, "--reso", str(reso),
                  "--confidence", "0.005", "--nms_thresh", "0.45",
                  "--score", "obj*cls", "--max-images", str(n)], env,
                 timeout=7200)
+    wall = time.perf_counter() - t0
     if proc.returncode != 0:
         raise SystemExit(f"amortized evaluate failed rc={proc.returncode}:\n"
                          f"{proc.stderr[-1200:]}")
     line = next(l for l in proc.stdout.splitlines() if l.startswith("{"))
     result = json.loads(line)
     rate = result["images_per_sec"]
-    return {"images": result["images"], "images_per_sec": rate,
-            "val2017_projection_s": round(5000.0 / rate, 1) if rate else None}
+    # Projection = measured one-time costs (interpreter+imports, TPU grant
+    # acquisition, weight load, compile-cache load, first super-chunk) +
+    # 5000 images at the measured steady-state rate.  The whole-run rate
+    # alone is dominated by those one-time costs at drill sizes and would
+    # project a 5000-image pass as if it re-paid them ten times over.
+    steady = result.get("images_per_sec_steady") or rate
+    n_done = result["images"]
+    fixed_s = max(0.0, round(wall - n_done / steady, 1)) if steady else None
+    proj = (round(fixed_s + 5000.0 / steady, 1)
+            if steady and fixed_s is not None else None)
+    return {"images": n_done, "wall_s": round(wall, 1),
+            "images_per_sec": rate, "images_per_sec_steady": steady,
+            "fixed_cost_s": fixed_s, "val2017_projection_s": proj}
 
 
 @step("int8_scales_rehearsal")
