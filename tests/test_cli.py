@@ -321,10 +321,27 @@ def test_int8_scales_file_write_then_load(assets, tmp_path):
         outs[tag] = open(os.path.join(out, "detections.jsonl")).read()
     saved = _json.load(open(scales))
     # quant_state() format: scales + the resolved skip set (reload
-    # reproduces the exact quantized-conv partition)
+    # reproduces the exact quantized-conv partition).  Since the round-4
+    # default flip, bare --int8-calib resolves to the auto recipe
+    # (p99.9 + smooth + bias-correct), so scales are per-channel smooth
+    # grids ({"per_channel": [...]}) — or plain floats for convs the
+    # smoother can't fold — the file carries the recipe stamp, and
+    # bias-correct deltas persist alongside.
     assert saved["version"] == 1
-    assert saved["scales"] and all(float(v) > 0
-                                   for v in saved["scales"].values())
+    assert saved["recipe"] == "auto"
+    assert saved["scales"]
+
+    def _positive(v):
+        if isinstance(v, dict):
+            return all(s > 0 for s in v["per_channel"])
+        if isinstance(v, list):  # split-concat per-branch scales
+            return all(s > 0 for s in v)
+        return float(v) > 0
+
+    assert all(_positive(v) for v in saved["scales"].values())
+    assert any(isinstance(v, dict) for v in saved["scales"].values()), \
+        "auto recipe should persist at least one per-channel smooth grid"
+    assert saved["bias_delta"], "auto recipe includes bias-correct deltas"
     assert isinstance(saved["skip"], list)
     assert outs["calib"] == outs["loaded"]
 
