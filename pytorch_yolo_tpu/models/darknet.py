@@ -255,6 +255,7 @@ def build_forward(
     stop_at: int | None = None,
     stem_s2d: bool = False,
     collect_conv_in_stats: "Callable[[int, jnp.ndarray], Any] | None" = None,
+    collect_conv_out_stats: "Callable[[int, jnp.ndarray], Any] | None" = None,
 ) -> Callable[[dict, jnp.ndarray], tuple[jnp.ndarray, ...]]:
     """Compile a ModelSpec into ``apply(params, x) -> per-head raw outputs``.
 
@@ -290,10 +291,20 @@ def build_forward(
     for a deep model at native size exceeds HBM — the p7@1536 compile
     OOM, perf/harvest_p7diag_r4.jsonl).  Mutually exclusive with
     ``stop_at`` (a truncated run would silently drop the collected
-    stats)."""
+    stats).
+
+    ``collect_conv_out_stats=f`` is the symmetric hook on each conv's
+    *post-epilogue output* — the LSUV variance equalizer's primitive
+    (weights.equalize_raw_params normalizes each conv's output std so
+    synthetic heads don't saturate, VERDICT r4 weak #2).  One stats hook
+    at a time (in XOR out)."""
     if quant not in (None, "w8a8", "w8"):
         raise ValueError(f"unsupported quant mode {quant!r}")
-    if collect_conv_in_stats is not None and stop_at is not None:
+    if collect_conv_in_stats is not None and collect_conv_out_stats is not None:
+        raise ValueError("one stats hook at a time: collect_conv_in_stats "
+                         "and collect_conv_out_stats share the stats return")
+    if (collect_conv_in_stats is not None
+            or collect_conv_out_stats is not None) and stop_at is not None:
         raise ValueError("collect_conv_in_stats and stop_at are mutually "
                          "exclusive: the truncated return path would drop "
                          "the collected statistics")
@@ -420,6 +431,10 @@ def build_forward(
                                 if "sag" in p else None))
                 else:
                     x = _conv(x, p["w"], p["b"], layer, dtype, precision)
+                if collect_conv_out_stats is not None:
+                    _s = collect_conv_out_stats(layer.index, x)
+                    if _s is not None:
+                        stats[layer.index] = _s
             elif isinstance(layer, MaxPoolSpec):
                 x = _maxpool(x, layer)
             elif isinstance(layer, UpsampleSpec):
@@ -444,7 +459,7 @@ def build_forward(
                 cache[layer.index] = x
         if stop_at is not None:
             return (x,)  # truncated run: the cut layer's output
-        if collect_conv_in_stats is not None:
+        if collect_conv_in_stats is not None or collect_conv_out_stats is not None:
             return tuple(heads), stats
         return tuple(heads)
 

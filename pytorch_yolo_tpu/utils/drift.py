@@ -30,11 +30,30 @@ class DriftStats:
     box_mean_px: float
     box_p99_px: float
     score_p99: float
+    # Channel-liveness diagnostics (VERDICT r4 weak #2): saturated-weight
+    # regimes pin every ref score to exactly 1.0 and border-clamp every
+    # box, so box_p99_px/score_p99 read 0.0 as an *artifact*, not a bound.
+    ref_sat_frac: float = 0.0   # fraction of ref scores >= 0.9999
+    zero_dev_frac: float = 0.0  # fraction of matched pairs with dev == 0 px
+
+    @property
+    def degenerate(self) -> bool:
+        """True when the regime cannot move the box/score channels: most
+        reference scores sit at sigmoid saturation, or essentially every
+        matched pair deviates by exactly 0.0 px.  A degenerate measurement's
+        box_p99_px/score_p99 are meaningless and its set_agreement is
+        measured on a degenerate ranking — re-generate weights (e.g.
+        ``weights.equalize_raw_params``) instead of banking the row."""
+        return (self.ref_sat_frac > 0.5
+                or (self.zero_dev_frac > 0.99 and self.ref_dets > 0))
 
     def row(self) -> str:
+        tail = "  [DEGENERATE REGIME — do not bank]" if self.degenerate else ""
         return (f"agree={self.set_agreement:.3f} box_mean={self.box_mean_px:.3f}px "
                 f"box_p99={self.box_p99_px:.3f}px score_p99={self.score_p99:.4f} "
-                f"({self.ref_dets}/{self.alt_dets} dets on {self.images} imgs)")
+                f"({self.ref_dets}/{self.alt_dets} dets on {self.images} imgs, "
+                f"sat={self.ref_sat_frac:.2f} zerodev={self.zero_dev_frac:.2f})"
+                f"{tail}")
 
 
 def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
@@ -44,12 +63,14 @@ def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
     box cannot claim the same ref box twice and a dropped ref box lowers
     ``set_agreement`` — exactly the NMS-level failures this metric exists to
     surface."""
-    n_ref = n_alt = n_match = 0
+    n_ref = n_alt = n_match = n_ref_sat = 0
     box_devs: list[float] = []
     score_devs: list[float] = []
     for a, b in zip(ref_dets, alt_dets):
         n_ref += len(a)
         n_alt += len(b)
+        if len(a):
+            n_ref_sat += int(np.sum(a.obj * a.cls_score >= 0.9999))
         if not len(a) or not len(b):
             continue
         d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1)  # (B, A)
@@ -75,6 +96,9 @@ def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
         box_mean_px=float(np.mean(box_devs)) if box_devs else 0.0,
         box_p99_px=float(np.quantile(box_devs, 0.99)) if box_devs else 0.0,
         score_p99=float(np.quantile(score_devs, 0.99)) if score_devs else 0.0,
+        ref_sat_frac=n_ref_sat / max(n_ref, 1),
+        zero_dev_frac=(float(np.mean(np.asarray(box_devs) == 0.0))
+                       if box_devs else 0.0),
     )
 
 
