@@ -86,3 +86,36 @@ def test_evaluate_cli(mini_coco, tmp_path, capsys):
     # batch*8 super-chunk, so there is no post-warmup segment to measure)
     assert "images_per_sec_steady" in metrics
     assert metrics["images_per_sec_steady"] is None
+
+
+def test_evaluate_cli_save_dets(mini_coco, tmp_path, capsys):
+    """--save-dets dumps per-image detections; two identical runs must
+    produce bit-identical dumps (the asset drill's calibrate-vs-reload
+    comparison contract — VERDICT r4 weak #6: mAP equality is vacuous at
+    synthetic 0.0==0.0, detection-level comparison is not)."""
+    ann, imgs = mini_coco
+    from pytorch_yolo_tpu.cli import main
+    from pytorch_yolo_tpu.models.zoo import model_spec, write_cfg
+    from pytorch_yolo_tpu.weights import random_raw_params, write_weights_file
+
+    cfg = str(tmp_path / "tiny.cfg")
+    weights = str(tmp_path / "tiny.weights")
+    write_cfg("yolov3-tiny", cfg)
+    spec = model_spec("yolov3-tiny")
+    write_weights_file(spec, random_raw_params(spec, seed=2), weights)
+
+    dumps = [str(tmp_path / f"dets{i}.npz") for i in (0, 1)]
+    for npz in dumps:
+        rc = main(["evaluate", "--images", imgs, "--annotations", ann,
+                   "--cfg", cfg, "--weights", weights, "--reso", "320",
+                   "--confidence", "0.5", "--save-dets", npz])
+        assert rc == 0
+    capsys.readouterr()
+    a, b = (np.load(p) for p in dumps)
+    assert int(a["n_images"]) == int(b["n_images"]) == 2
+    total = 0
+    for i in range(2):
+        for ch in ("boxes", "scores", "classes"):
+            np.testing.assert_array_equal(a[f"{ch}_{i}"], b[f"{ch}_{i}"])
+        total += len(a[f"boxes_{i}"])
+    assert total > 0  # synthetic weights still detect at conf 0.5

@@ -184,13 +184,20 @@ def evaluate_amortized(env, model: str, reso: int, n: int) -> dict:
     # 5000 images at the measured steady-state rate.  The whole-run rate
     # alone is dominated by those one-time costs at drill sizes and would
     # project a 5000-image pass as if it re-paid them ten times over.
-    steady = result.get("images_per_sec_steady") or rate
+    steady = result.get("images_per_sec_steady")
+    # ADVICE r4: a run too short for a steady segment must not silently
+    # fall back to the whole-run rate (that re-amortizes the one-time
+    # costs into all 5000 projected images — the exact distortion the
+    # steady split removes).  Flag the degraded mode instead.
+    steady_fallback = steady is None
+    eff = rate if steady_fallback else steady
     n_done = result["images"]
-    fixed_s = max(0.0, round(wall - n_done / steady, 1)) if steady else None
-    proj = (round(fixed_s + 5000.0 / steady, 1)
-            if steady and fixed_s is not None else None)
+    fixed_s = max(0.0, round(wall - n_done / eff, 1)) if eff else None
+    proj = (round(fixed_s + 5000.0 / eff, 1)
+            if eff and fixed_s is not None else None)
     return {"images": n_done, "wall_s": round(wall, 1),
             "images_per_sec": rate, "images_per_sec_steady": steady,
+            "steady_fallback": steady_fallback,
             "fixed_cost_s": fixed_s, "val2017_projection_s": proj}
 
 
@@ -203,24 +210,45 @@ def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
     report identical accuracy numbers (calibrate once, serve many)."""
     scales = os.path.join(drill_dir, f"{model}.int8-scales.json")
     outs = []
+    dets_npz = [os.path.join(drill_dir, f"{model}.int8-dets-{tag}.npz")
+                for tag in ("calib", "reload")]
     # --int8-smooth + --int8-bias-correct + --int8-skip-noisy rehearse the
     # full accuracy stack: the persisted quant_state() (per-channel grids,
     # bias deltas AND the skip set) must make the reload bit-identical.
     # smooth(+bc on conv_conv) is the best measured zero-cost recipe
     # (PERF.md session 7); the drill exercises every persistence path.
-    for extra in (["--int8-calib", img_dir, "--int8-smooth", "0.5",
-                   "--int8-bias-correct", "--int8-skip-noisy", "4"], []):
+    for npz, extra in zip(dets_npz,
+                          (["--int8-calib", img_dir, "--int8-smooth", "0.5",
+                            "--int8-bias-correct", "--int8-skip-noisy", "4"],
+                           [])):
         proc = _run([sys.executable, "-m", "pytorch_yolo_tpu", "evaluate",
                      "--model", model, "--reso", str(reso),
                      "--confidence", "0.005", "--nms_thresh", "0.45",
                      "--score", "obj*cls", "--max-images", str(max_images),
-                     "--int8", "--bf16", "--int8-scales", scales] + extra,
+                     "--int8", "--bf16", "--int8-scales", scales,
+                     "--save-dets", npz] + extra,
                     env)
         if proc.returncode != 0:
             raise SystemExit(f"int8 evaluate failed rc={proc.returncode}:\n"
                              f"{proc.stderr[-1200:]}")
         line = next(l for l in proc.stdout.splitlines() if l.startswith("{"))
         outs.append(json.loads(line))
+    # Detection-level persistence check (VERDICT r4 weak #6: the old
+    # mAP-equality assert is vacuous at synthetic 0.0==0.0): the reload
+    # run must reproduce the calibration run's per-image detections.
+    a, b = (np.load(p) for p in dets_npz)
+    n = int(a["n_images"])
+    if n != int(b["n_images"]) or n == 0:
+        raise SystemExit(f"int8 det dumps disagree on image count: "
+                         f"{n} vs {int(b['n_images'])}")
+    n_dets = 0
+    for i in range(n):
+        for ch, atol in (("boxes", 1e-3), ("scores", 1e-5), ("classes", 0)):
+            np.testing.assert_allclose(
+                a[f"{ch}_{i}"], b[f"{ch}_{i}"], rtol=1e-5, atol=atol,
+                err_msg=f"persisted-scales reload diverged from the "
+                        f"calibration run at image {i} ({ch})")
+        n_dets += len(a[f"boxes_{i}"])
     if outs[0]["mAP@0.5"] != outs[1]["mAP@0.5"]:
         raise SystemExit(f"persisted-scales run diverged from calibration "
                          f"run: {outs[0]['mAP@0.5']} vs {outs[1]['mAP@0.5']}")
@@ -229,7 +257,8 @@ def int8_scales_rehearsal(env, model: str, reso: int, max_images: int,
     n_scales = len(state["scales"]) if "scales" in state else len(state)
     return {"scales": scales, "n_scales": n_scales,
             "n_skip": len(state.get("skip", ())),
-            "map_int8sb": outs[1]["mAP@0.5"]}
+            "map_int8sb": outs[1]["mAP@0.5"],
+            "dets_compared": n, "n_dets_matched": int(n_dets)}
 
 
 @step("checkpoint_roundtrip")

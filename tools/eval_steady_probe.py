@@ -36,6 +36,14 @@ def main() -> int:
     args = ap.parse_args()
 
     t_all = time.perf_counter()
+    # Only a directory this probe created may be cleaned up at exit
+    # (ADVICE r4: pointing --dir at a pre-existing directory with
+    # unrelated content must not silently wipe it).
+    created_dir = not os.path.exists(args.dir)
+    if not created_dir and not args.keep and os.listdir(args.dir):
+        print(f"refusing to reuse non-empty {args.dir} without --keep "
+              "(it would be deleted at exit)", file=sys.stderr)
+        return 2
     os.makedirs(args.dir, exist_ok=True)
     env = dict(os.environ)
     env["PYTORCH_YOLO_ASSETS"] = args.dir

@@ -5,7 +5,7 @@ VERDICT r3 #2's done-criterion for the size-aware early-skip default was
 the es32 default (stride-128 ladder class) and made recipe-auto the
 calibration default, but the first attempt crashed the remote compiler on
 the recipe's percentile/bias-correct calibration at p7's native 1536^2 —
-since bisected and fixed (percentiles via count-reductions, f040f626; the
+since bisected and fixed (percentiles via count-reductions, f040f26; the
 full-recipe Detector.load was confirmed end-to-end on silicon at 413 s,
 perf/harvest_p7iso_r4.jsonl).  What is still unbanked is the COMPUTE-MODE
 number under the final shipped defaults beside a same-session bf16
