@@ -394,8 +394,13 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         # round-4 default makes bare quant_calib apply the recipe, but
         # these rows exist to keep the historical no-recipe bounds
         # comparable (perf/drift_heldout_r3.jsonl lineage).
+        # quant_calib_size=size on every calibrated mode: scales must be
+        # calibrated at the drift-eval size (r5: p6 calib@1280/eval@640
+        # measured 0.11 agreement vs 0.66 dynamic — the mismatch, not the
+        # quantization, was the story).
         "int8-static": Detector(ref.spec, host, quant="w8a8",
-                                quant_calib=calib, quant_recipe="none"),
+                                quant_calib=calib, quant_calib_size=size,
+                                quant_recipe="none"),
         # The A/B-winning serving combo (--int8 --bf16): bf16 glue, which
         # also engages the early-layer skip default where profitable
         # (ops/quant.early_skip_profitable) — drift for the mode users
@@ -403,7 +408,8 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
         "int8sb(served)": Detector(ref.spec, host, quant="w8a8",
                                    compute_dtype=jnp.bfloat16,
                                    precision="default",
-                                   quant_calib=calib, quant_recipe="none"),
+                                   quant_calib=calib, quant_calib_size=size,
+                                   quant_recipe="none"),
         # The SERVING.md-recommended config (--int8 --bf16 --int8-calib
         # --int8-recipe auto): same as int8sb(served) plus the measured
         # best zero-cost calibration recipe (p99.9 percentile + per-channel
@@ -413,6 +419,7 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
                                           compute_dtype=jnp.bfloat16,
                                           precision="default",
                                           quant_calib=calib,
+                                          quant_calib_size=size,
                                           quant_recipe="auto"),
     }
     rows = []

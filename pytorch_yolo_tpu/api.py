@@ -115,6 +115,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_calib_size: "int | tuple[int, int] | None" = None,
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
@@ -229,6 +230,7 @@ class Detector:
                 "quant_bias_delta (persisted deltas), not both")
         self._quant_skip: frozenset[int] = frozenset()
         self._bias_deltas: "dict[int, np.ndarray]" = {}
+        self._quant_calib_size: "tuple[int, int] | None" = None
         # Normalized for quant_state() stamping: "none" (explicit opt-out)
         # persists like the pre-recipe default — no "recipe" field.
         self._quant_recipe = None if quant_recipe == "none" else quant_recipe
@@ -304,7 +306,30 @@ class Detector:
                 # Default True matches cv2.imread-style BGR inputs (every
                 # CLI path, incl. evaluate); pass False when serving RGB
                 # frames with detect(bgr=False).
-                s = (spec.net.height, spec.net.width)
+                # Calibration size MUST match the served size (round-5
+                # hardware finding, perf/harvest_r5.jsonl step 6): p6
+                # calibrated at its native 1280 but served at 640 dropped
+                # static-int8 set agreement to 0.11 where dynamic scales
+                # held 0.66 — activation maxima scale with spatial extent,
+                # so mismatched scales clip catastrophically.  Default
+                # stays the cfg [net] size (the reference's serving
+                # default); pass the serving resolution (CLI --reso does)
+                # whenever it differs.
+                if quant_calib_size is None:
+                    s = (spec.net.height, spec.net.width)
+                else:
+                    qs = quant_calib_size
+                    s = (qs, qs) if isinstance(qs, int) else (qs[0], qs[1])
+                    from .config import head_strides
+
+                    mod = max(32, max(head_strides(spec)))
+                    for d in s:
+                        if d % mod:
+                            raise ValueError(
+                                f"quant_calib_size {quant_calib_size} must "
+                                f"be a multiple of {mod} (deepest head "
+                                "stride of this model)")
+                self._quant_calib_size = s
                 canvases = np.stack([
                     letterbox_host(_normalize_channels(im), s,
                                    bgr=quant_calib_bgr, method=interp)[0]
@@ -486,6 +511,7 @@ class Detector:
         quant_calib_bgr: bool = True,
         quant_calib_margin: float = 1.0,
         quant_calib_percentile: "float | None" = None,
+        quant_calib_size: "int | tuple[int, int] | None" = None,
         quant_skip_noisy: int = 0,
         quant_split_concat: bool = False,
         quant_smooth: "float | None" = None,
@@ -535,6 +561,7 @@ class Detector:
                   quant_calib=quant_calib, quant_calib_bgr=quant_calib_bgr,
                   quant_calib_margin=quant_calib_margin,
                   quant_calib_percentile=quant_calib_percentile,
+                  quant_calib_size=quant_calib_size,
                   quant_skip_noisy=quant_skip_noisy,
                   quant_split_concat=quant_split_concat,
                   quant_smooth=quant_smooth,
@@ -582,6 +609,12 @@ class Detector:
             # on a RESTART: a file stamped with the same recipe loads
             # instead of demanding a re-calibration.
             state["recipe"] = self._quant_recipe
+        if self._quant_calib_size is not None:
+            # Provenance: static scales are only valid at the calibrated
+            # serving size (r5 finding — p6 calib@1280/served@640 dropped
+            # agreement to 0.11); the CLI warns when a loaded file's
+            # calib_size mismatches the served --reso.
+            state["calib_size"] = list(self._quant_calib_size)
         if self._bias_deltas:
             # quant_bias_correct deltas: reload via quant_bias_delta= so the
             # corrected detector revives without the calibration images.

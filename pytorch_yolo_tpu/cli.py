@@ -266,6 +266,17 @@ def _build_detector(args) -> Detector:
                     "state applies — delete it to re-calibrate (a file "
                     "stamped by --int8-recipe reloads under the same "
                     "recipe flag)")
+            if isinstance(state, dict) and state.get("calib_size"):
+                served = args.reso if isinstance(args.reso, tuple) \
+                    else (args.reso, args.reso)
+                if tuple(state["calib_size"]) != served:
+                    log.warning(
+                        "--int8-scales %s was calibrated at %s but serving "
+                        "at %s: static scales are only valid at the "
+                        "calibrated size (measured: a 2x mismatch dropped "
+                        "set agreement 0.66->0.11 on yolov4-p6) — delete "
+                        "the file to re-calibrate at --reso",
+                        scales_path, state["calib_size"], list(served))
             if isinstance(state, dict) and "scales" in state:
                 # quant_state() format: scales + the resolved skip set of
                 # the calibration run (reproduces the exact quantized-conv
@@ -283,6 +294,11 @@ def _build_detector(args) -> Detector:
             # CLI images load via cv2.imread (BGR) and detect() defaults
             # bgr=True, so calibration runs on the served channel order.
             kw.update(quant_calib=_load_calib_images(calib_dir),
+                      # Calibrate at the SERVED resolution, not the cfg's
+                      # [net] size (r5 finding: p6 calib@1280/served@640
+                      # dropped static-int8 agreement 0.66->0.11 —
+                      # activation maxima scale with spatial extent)
+                      quant_calib_size=args.reso,
                       quant_calib_margin=getattr(args, "int8_calib_margin", 1.0),
                       quant_calib_percentile=getattr(
                           args, "int8_calib_percentile", None),

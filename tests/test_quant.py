@@ -278,6 +278,39 @@ def test_calibration_set_size_robustness(tiny):
     assert abs(len(a) - len(b)) <= max(3, len(a) // 4)
 
 
+def test_quant_calib_size_matches_serving(tiny):
+    """Calibration must be able to run at the SERVED size (r5 hardware
+    finding: p6 calibrated at its native 1280 but served at 640 measured
+    0.11 set agreement where dynamic scales held 0.66 — activation maxima
+    scale with spatial extent).  quant_calib_size overrides the cfg [net]
+    default; the state stamps the size; invalid sizes are rejected."""
+    spec, params = tiny
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (160, 200, 3), dtype=np.uint8)
+            for _ in range(2)]
+    det_net = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           quant_recipe="none")
+    det_320 = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                           quant_calib_size=320, quant_recipe="none")
+    # default stamps the cfg [net] size; override stamps the served size
+    assert det_net.quant_state()["calib_size"] == [spec.net.height,
+                                                   spec.net.width]
+    assert det_320.quant_state()["calib_size"] == [320, 320]
+    # different spatial extent -> different activation maxima somewhere
+    a, b = det_net.act_scales(), det_320.act_scales()
+    assert a.keys() == b.keys()
+    assert any(not np.allclose(np.asarray(a[i], dtype=object).tolist(),
+                               np.asarray(b[i], dtype=object).tolist())
+               for i in a)
+    # rectangular pair accepted; non-%32 rejected
+    det_rect = pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                            quant_calib_size=(320, 416), quant_recipe="none")
+    assert det_rect.quant_state()["calib_size"] == [320, 416]
+    with pytest.raises(ValueError, match="multiple of"):
+        pyt.Detector(spec, params, quant="w8a8", quant_calib=imgs,
+                     quant_calib_size=300, quant_recipe="none")
+
+
 def test_collect_stats_and_stop_at_mutually_exclusive(tiny):
     spec, _ = tiny
     with pytest.raises(ValueError, match="mutually exclusive"):

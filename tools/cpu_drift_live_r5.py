@@ -94,9 +94,11 @@ def main() -> int:
             "bf16": dict(compute_dtype=jnp.bfloat16, precision="default"),
             "int8sb_plain": dict(quant="w8a8", compute_dtype=jnp.bfloat16,
                                  precision="default", quant_calib=calib,
+                                 quant_calib_size=size,
                                  quant_recipe="none"),
             "int8sb_recipe": dict(quant="w8a8", compute_dtype=jnp.bfloat16,
                                   precision="default", quant_calib=calib,
+                                  quant_calib_size=size,
                                   quant_recipe="auto"),
         }
         for name, kw in modes.items():
