@@ -100,6 +100,10 @@ def main() -> int:
     ap.add_argument("--out", default="perf/serve_probe_r5.jsonl")
     ap.add_argument("--int8", action="store_true",
                     help="serve --int8 --bf16 instead of plain --bf16")
+    ap.add_argument("--int8-calib", default=None, metavar="DIR",
+                    help="calibrate static scales from DIR (the "
+                         "recommended serving mode; without it --int8 "
+                         "serves dynamic scales)")
     args = ap.parse_args()
 
     url = f"http://127.0.0.1:{args.port}"
@@ -111,7 +115,10 @@ def main() -> int:
            "--port", str(args.port), "--batch", str(args.batch), "--bf16"]
     if args.int8:
         cmd.append("--int8")
-    mode = "int8sb" if args.int8 else "bf16"
+    if args.int8_calib:
+        cmd += ["--int8-calib", args.int8_calib]
+    mode = ("int8sb-static" if args.int8 and args.int8_calib
+            else "int8sb-dynamic" if args.int8 else "bf16")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     sink = open(args.out, "a")
