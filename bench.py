@@ -435,6 +435,7 @@ def measure_drift(model: str, size: int = 416, n_imgs: int = 4) -> list:
                      "score_p99": round(s.score_p99, 5),
                      "ref_sat_frac": round(s.ref_sat_frac, 3),
                      "zero_dev_frac": round(s.zero_dev_frac, 3),
+                     "ref_score_spread": round(s.ref_score_spread, 4),
                      "degenerate": s.degenerate,
                      "regime": "live"})
     return rows

@@ -35,24 +35,34 @@ class DriftStats:
     # box, so box_p99_px/score_p99 read 0.0 as an *artifact*, not a bound.
     ref_sat_frac: float = 0.0   # fraction of ref scores >= 0.9999
     zero_dev_frac: float = 0.0  # fraction of matched pairs with dev == 0 px
+    # p95-p5 spread of the ref score distribution: a near-constant score
+    # field (spp's live regime measured 0.016 — 22 dets all at 0.846-0.862)
+    # makes the NMS ranking an effective tie, so tiny numeric noise
+    # reshuffles keep-sets and set_agreement collapses without any real
+    # accuracy signal (r5 diagnosis, PERF.md six-family table caveat).
+    ref_score_spread: float = 1.0
 
     @property
     def degenerate(self) -> bool:
-        """True when the regime cannot move the box/score channels: most
-        reference scores sit at sigmoid saturation, or essentially every
-        matched pair deviates by exactly 0.0 px.  A degenerate measurement's
-        box_p99_px/score_p99 are meaningless and its set_agreement is
-        measured on a degenerate ranking — re-generate weights (e.g.
-        ``weights.equalize_raw_params``) instead of banking the row."""
+        """True when the regime cannot produce a meaningful measurement:
+        most reference scores sit at sigmoid saturation, essentially every
+        matched pair deviates by exactly 0.0 px, or the ref scores are so
+        tightly clustered that the ranking is an effective tie.  A
+        degenerate measurement's box_p99_px/score_p99 are meaningless and
+        its set_agreement is measured on a degenerate ranking —
+        re-generate weights (e.g. ``weights.equalize_raw_params``) instead
+        of banking the row."""
         return (self.ref_sat_frac > 0.5
-                or (self.zero_dev_frac > 0.99 and self.ref_dets > 0))
+                or (self.zero_dev_frac > 0.99 and self.ref_dets > 0)
+                or (self.ref_score_spread < 0.02 and self.ref_dets > 0))
 
     def row(self) -> str:
         tail = "  [DEGENERATE REGIME — do not bank]" if self.degenerate else ""
         return (f"agree={self.set_agreement:.3f} box_mean={self.box_mean_px:.3f}px "
                 f"box_p99={self.box_p99_px:.3f}px score_p99={self.score_p99:.4f} "
                 f"({self.ref_dets}/{self.alt_dets} dets on {self.images} imgs, "
-                f"sat={self.ref_sat_frac:.2f} zerodev={self.zero_dev_frac:.2f})"
+                f"sat={self.ref_sat_frac:.2f} zerodev={self.zero_dev_frac:.2f} "
+                f"spread={self.ref_score_spread:.3f})"
                 f"{tail}")
 
 
@@ -66,11 +76,13 @@ def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
     n_ref = n_alt = n_match = n_ref_sat = 0
     box_devs: list[float] = []
     score_devs: list[float] = []
+    ref_scores: list[np.ndarray] = []
     for a, b in zip(ref_dets, alt_dets):
         n_ref += len(a)
         n_alt += len(b)
         if len(a):
             n_ref_sat += int(np.sum(a.obj * a.cls_score >= 0.9999))
+            ref_scores.append(np.asarray(a.obj * a.cls_score))
         if not len(a) or not len(b):
             continue
         d = np.abs(b.boxes[:, None, :] - a.boxes[None, :, :]).max(-1)  # (B, A)
@@ -99,6 +111,9 @@ def detection_drift(ref_dets, alt_dets, match_px: float = 8.0) -> DriftStats:
         ref_sat_frac=n_ref_sat / max(n_ref, 1),
         zero_dev_frac=(float(np.mean(np.asarray(box_devs) == 0.0))
                        if box_devs else 0.0),
+        ref_score_spread=(float(np.diff(np.percentile(
+            np.concatenate(ref_scores), [5, 95]))[0])
+            if ref_scores else 1.0),
     )
 
 

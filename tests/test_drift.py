@@ -89,12 +89,29 @@ def test_liveness_guard_flags_saturated_regime():
     assert sat.degenerate
     assert "DEGENERATE" in sat.row()
 
-    live = detection_drift([det(0.7)], [Detection(
+    def det_spread(scores):
+        b = np.asarray([[0, 0, 10, 10], [5, 5, 20, 20]], np.float64)
+        return Detection(boxes=b, obj=np.asarray(scores, np.float64),
+                         cls_score=np.full(2, 1.0),
+                         cls_id=np.zeros(2, np.int64))
+
+    live = detection_drift([det_spread([0.6, 0.9])], [Detection(
         boxes=np.asarray([[0.5, 0, 10, 10], [5, 5.5, 20, 20]], np.float64),
-        obj=np.full(2, 0.69), cls_score=np.full(2, 1.0),
+        obj=np.asarray([0.59, 0.91]), cls_score=np.full(2, 1.0),
         cls_id=np.zeros(2, np.int64))])
     assert not live.degenerate
     assert live.zero_dev_frac == 0.0
+    assert live.ref_score_spread > 0.02
+
+    # near-constant ref scores = effective ranking tie (the spp live-regime
+    # failure: 22 dets all at 0.846-0.862, spread 0.016) -> degenerate even
+    # though nothing saturates and box deviations are nonzero
+    tied = detection_drift([det_spread([0.85, 0.855])], [Detection(
+        boxes=np.asarray([[0.5, 0, 10, 10], [5, 5.5, 20, 20]], np.float64),
+        obj=np.asarray([0.849, 0.856]), cls_score=np.full(2, 1.0),
+        cls_id=np.zeros(2, np.int64))])
+    assert tied.ref_score_spread < 0.02
+    assert tied.degenerate
 
 
 def test_equalized_flagship_regime_is_live():

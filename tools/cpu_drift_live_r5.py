@@ -110,6 +110,7 @@ def main() -> int:
                  score_p99=round(s.score_p99, 5),
                  ref_sat_frac=round(s.ref_sat_frac, 3),
                  zero_dev_frac=round(s.zero_dev_frac, 3),
+                 ref_score_spread=round(s.ref_score_spread, 4),
                  degenerate=s.degenerate, regime="live",
                  seconds=round(time.perf_counter() - t0, 1))
     emit(step="done")
