@@ -271,7 +271,8 @@ def random_raw_params(spec: ModelSpec, seed: int = 0, scale: float = 0.05) -> Ra
 
 
 def equalize_raw_params(spec: ModelSpec, raw: RawParams, size: int | None = None,
-                        iters: int = 4, seed: int = 7) -> RawParams:
+                        iters: int = 12, seed: int = 7,
+                        tol: float = 0.1) -> RawParams:
     """Variance-controlled synthetic weights (VERDICT r4 weak #2).
 
     Plain He-init compounds activation variance through deep stacks (every
@@ -311,6 +312,14 @@ def equalize_raw_params(spec: ModelSpec, raw: RawParams, size: int | None = None
     Pure per-conv kernel rescaling: the raw-params schema (BN stats,
     biases) is untouched, so the result still round-trips through the
     ``.weights`` writer and folds normally.
+
+    Convergence (r5): ``iters`` is a CEILING — each sweep first checks the
+    freshly-measured stds and stops once every unbounded conv's
+    ``|log s_i|`` is within ``tol`` (shallow/leaky stacks converge in
+    3-5 sweeps; yolov4x-mish's 207-layer mish stack needs ~8 because mish
+    is only near-homogeneous, so each rescale shifts its operating point
+    — measured: iters=4 left head scores compressed to 0.37-0.42
+    / spread 0.029, converged sweeps spread them to 0.42-0.61 / 0.109).
     """
     import jax
     import jax.numpy as jnp
@@ -329,9 +338,15 @@ def equalize_raw_params(spec: ModelSpec, raw: RawParams, size: int | None = None
     rng = np.random.default_rng(seed)
     x = rng.random((1, size, size, 3), dtype=np.float32)
     raw = {i: dict(e) for i, e in raw.items()}
+    unbounded = {l.index for l in spec.layers
+                 if isinstance(l, ConvSpec) and l.activation != "logistic"}
     for _ in range(iters):
         _, stats = fwd(fold_batchnorm(spec, raw), x)
         s = {i: float(np.asarray(v)) for i, v in stats.items()}
+        devs = [abs(np.log(s[i])) for i in unbounded
+                if s.get(i, 0.0) > 1e-6]
+        if devs and max(devs) < tol:
+            break  # converged: every unbounded conv's output std ~1
         f: dict[int, float] = {}
         src = lambda j: 1.0 if j < 0 else f[j]
         for layer in spec.layers:
